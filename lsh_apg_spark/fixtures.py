@@ -1,0 +1,219 @@
+"""Deterministic synthetic `pages` corpus + brute-force golden oracle.
+
+Mirrors the reference's oracle methodology: brute-force exact
+ground truth, cached and used as the recall gate
+(Preprocess::ben_make/ben_create, src/Preprocess.cpp:107-142,227-254;
+recall accounting Performance::update, src/Query.cpp:9-67).
+
+The corpus is the BASELINE.json input_hint shape:
+(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING).
+html = b"<html><body>" + text + b"</body></html>" so the html→text
+extraction invariant is trivially byte-exact; `text` is the single
+source of truth and the pipeline never mutates it.
+
+Duplicate structure (FIXTURES.md §1):
+* ~50% unique docs (seeded token soup, 50-500 words),
+* exact-duplicate groups of sizes 2-10,
+* near-duplicate groups with 1-5% token edits (includes borderline
+  pairs straddling tau),
+* substring-containment pairs (doc B = verbatim span of doc A inside
+  boilerplate — only the winnowing pass can catch these),
+* one adversarial hot group: many docs with identical boilerplate text
+  (the mega-bucket / salting test).
+
+Everything is a function of (seed, n_docs) only — regeneration is
+byte-identical.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from lsh_apg_spark.config import DedupConfig
+from lsh_apg_spark.functions import kernels
+
+_VOCAB_SIZE = 2000
+_LANGS = ["en", "en", "en", "en", "en", "en", "de", "fr"]
+_EPOCH = dt.datetime(2024, 10, 8, tzinfo=dt.timezone.utc)
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def _vocab(rng: random.Random) -> list[str]:
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    return ["".join(rng.choice(alphabet) for _ in range(rng.randint(3, 9)))
+            for _ in range(_VOCAB_SIZE)]
+
+
+@dataclass
+class PagesFixture:
+    pages: pd.DataFrame
+    # planted structure for constructive checks
+    exact_groups: list[list[str]] = field(default_factory=list)
+    near_groups: list[list[str]] = field(default_factory=list)
+    substring_pairs: list[tuple[str, str]] = field(default_factory=list)
+    hot_group: list[str] = field(default_factory=list)
+
+
+def _mk_row(i: int, text: str, lang: str) -> dict:
+    url = f"https://site{i % 97}.example/p/{i}"
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + dt.timedelta(seconds=i),
+        "html": b"<html><body>" + text.encode("utf-8") + b"</body></html>",
+        "text": text,
+        "lang": lang,
+    }
+
+
+def generate_pages(n_docs: int = 400, seed: int = 42,
+                   hot_group_size: int | None = None) -> PagesFixture:
+    rng = random.Random(seed)
+    vocab = _vocab(rng)
+    rows: list[dict] = []
+    fx = PagesFixture(pages=pd.DataFrame())
+
+    def soup(lo: int = 50, hi: int = 500) -> str:
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(lo, hi)))
+
+    def lang() -> str:
+        return rng.choice(_LANGS)
+
+    i = 0
+    n_hot = hot_group_size if hot_group_size is not None else max(8, n_docs // 10)
+    n_exact = max(2, int(n_docs * 0.20))
+    n_near = max(2, int(n_docs * 0.15))
+    n_sub = max(2, int(n_docs * 0.05))
+
+    # hot group: identical boilerplate text (mega-bucket in every band)
+    hot_text = soup(120, 160)
+    for _ in range(n_hot):
+        rows.append(_mk_row(i, hot_text, "en"))
+        fx.hot_group.append(rows[-1]["url"])
+        i += 1
+
+    # exact-duplicate groups
+    left = n_exact
+    while left > 0:
+        g = min(left, rng.randint(2, 10))
+        text, lg = soup(), lang()
+        urls = []
+        for _ in range(g):
+            rows.append(_mk_row(i, text, lg))
+            urls.append(rows[-1]["url"])
+            i += 1
+        fx.exact_groups.append(urls)
+        left -= g
+
+    # near-duplicate groups: base + variants with 1-5% token edits
+    left = n_near
+    while left > 1:
+        g = min(left, rng.randint(2, 4))
+        base = soup(100, 400).split()
+        urls = []
+        rows.append(_mk_row(i, " ".join(base), lang()))
+        urls.append(rows[-1]["url"])
+        i += 1
+        for _ in range(g - 1):
+            toks = list(base)
+            n_edit = max(1, int(len(toks) * rng.uniform(0.01, 0.05)))
+            for _ in range(n_edit):
+                op = rng.random()
+                pos = rng.randrange(len(toks))
+                if op < 0.5:
+                    toks[pos] = rng.choice(vocab)
+                elif op < 0.75:
+                    toks.insert(pos, rng.choice(vocab))
+                elif len(toks) > 10:
+                    del toks[pos]
+            rows.append(_mk_row(i, " ".join(toks), lang()))
+            urls.append(rows[-1]["url"])
+            i += 1
+        fx.near_groups.append(urls)
+        left -= g
+
+    # substring containment: B = verbatim span of A + fresh boilerplate.
+    # Span is long (>= 40 words ≈ >> min_substring_len chars) but B's
+    # total token overlap with A stays below tau → only winnowing finds it.
+    left = n_sub
+    while left > 1:
+        a_toks = soup(300, 500).split()
+        span_len = rng.randint(60, 120)
+        start = rng.randrange(0, len(a_toks) - span_len)
+        span = " ".join(a_toks[start:start + span_len])
+        b_text = soup(200, 300) + " " + span + " " + soup(200, 300)
+        rows.append(_mk_row(i, " ".join(a_toks), lang()))
+        url_a = rows[-1]["url"]
+        i += 1
+        rows.append(_mk_row(i, b_text, lang()))
+        url_b = rows[-1]["url"]
+        i += 1
+        fx.substring_pairs.append((min(url_a, url_b), max(url_a, url_b)))
+        left -= 2
+
+    # unique filler up to n_docs
+    while len(rows) < n_docs:
+        rows.append(_mk_row(i, soup(), lang()))
+        i += 1
+
+    fx.pages = pd.DataFrame(rows)
+    return fx
+
+
+# ---------------------------------------------------------------------------
+# Brute-force golden oracle (mirror of ben_make, src/Preprocess.cpp:107-142)
+# ---------------------------------------------------------------------------
+
+def golden_pairs(pages: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
+    """All-pairs exact word-shingle Jaccard >= tau. O(n^2) — fixture
+    scale only, exactly like the reference's oracle."""
+    cache: dict = {}
+    ids = pages["url"].tolist()
+    shingle_sets = [
+        set(kernels.shingle_hashes(t, cfg.shingle_size, cache).tolist())
+        for t in pages["text"]
+    ]
+    out = []
+    n = len(ids)
+    for x in range(n):
+        sx = shingle_sets[x]
+        for y in range(x + 1, n):
+            sy = shingle_sets[y]
+            inter = len(sx & sy)
+            if inter == 0:
+                continue
+            j = inter / (len(sx) + len(sy) - inter)
+            if j >= cfg.tau:
+                a, b = sorted((ids[x], ids[y]))
+                out.append((a, b, j))
+    return pd.DataFrame(out, columns=["a", "b", "jaccard"]).sort_values(
+        ["a", "b"]).reset_index(drop=True)
+
+
+def golden_clusters(pages: pd.DataFrame, gpairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over golden pairs → (url, cluster_id=min member url)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: str, y: str) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # min-id root for determinism
+            lo, hi = sorted((rx, ry))
+            parent[hi] = lo
+
+    for a, b in zip(gpairs["a"], gpairs["b"]):
+        union(a, b)
+    rows = [(u, find(u)) for u in pages["url"]]
+    return pd.DataFrame(rows, columns=["url", "cluster_id"]).sort_values(
+        "url").reset_index(drop=True)

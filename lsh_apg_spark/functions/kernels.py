@@ -1,0 +1,177 @@
+"""Pure numpy kernels shared by pandas UDFs, the fixture oracle, and
+unit tests. Everything is a deterministic function of (config, bytes) —
+the Spark analogue of the reference seeding its projections with
+``mt19937 rng(0)`` (cppCode/LSH-APG/src/e2lsh.cpp:50-57).
+
+The per-point signature kernel (minhash_signature) maps the reference's
+``hashBase::calHash`` S-function projection (src/e2lsh.cpp:62-69); the
+exact-Jaccard kernel maps its exact re-rank distance
+(src/basis.h:186-202) and the popcount Jaccard kernel
+(src/distances_simd_avx512.cpp:416-420) — SIMD is replaced by numpy
+over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+# odd multipliers for the rolling shingle combiner (splitmix64-ish constants)
+_SHINGLE_MULT = U64(0x9E3779B97F4A7C15)
+_EMPTY_TOKEN_HASH = U64(0x27D4EB2F165667C5)
+
+
+def token_hash(token: str) -> np.uint64:
+    """Stable 64-bit hash of one token (blake2b truncated). Slow path —
+    only used via the memoising cache in tokens_to_hashes."""
+    return U64(int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"))
+
+
+def normalize_tokens(text: str) -> list[str]:
+    """Frozen normalization: lowercase + whitespace split. Part of the
+    recall-parity config — never change without re-freezing golden data.
+    The stored ``text`` column itself is NEVER mutated (byte-identical
+    per-url invariant); normalization exists only inside signature
+    computation."""
+    return text.lower().split()
+
+
+def tokens_to_hashes(tokens: list[str], cache: dict[str, np.uint64]) -> np.ndarray:
+    """Map tokens to uint64 hashes with a batch-level memo cache
+    (web text repeats tokens heavily — the cache makes the blake2b cost
+    ~once per unique token per Arrow batch)."""
+    out = np.empty(len(tokens), dtype=U64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = token_hash(t)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def shingle_hashes(text: str, k: int, cache: dict[str, np.uint64]) -> np.ndarray:
+    """Distinct uint64 hashes of the k-word shingles of ``text``.
+
+    Shingle hash = rolling combine of token hashes (vectorized across
+    positions: k shifted adds, not a per-shingle loop). Documents with
+    fewer than k tokens degrade to a single whole-text shingle so every
+    document has a non-empty shingle set.
+    """
+    toks = normalize_tokens(text)
+    n = len(toks)
+    if n == 0:
+        return np.array([_EMPTY_TOKEN_HASH], dtype=U64)
+    th = tokens_to_hashes(toks, cache)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        if n < k:
+            s = np.zeros(1, dtype=U64)
+            for j in range(n):
+                s = s * _SHINGLE_MULT + th[j]
+            return s
+        m = n - k + 1
+        s = np.zeros(m, dtype=U64)
+        for j in range(k):
+            s = s * _SHINGLE_MULT + th[j:j + m]
+    return np.unique(s)
+
+
+def minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) multiply-shift params: a odd uint64, b uint64.
+    Analogue of the reference's HashParam rndAs/rndBs
+    (src/def.h:24-34) generated once and broadcast."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) * U64(2) + U64(1)
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature: min over shingles of (a_i*s + b_i) mod 2^64,
+    one value per hash function. Returns int64 view (Spark BIGINT)."""
+    # (H, m) outer product with uint64 wraparound — the vectorized
+    # analogue of calHash's per-function dot product (e2lsh.cpp:62-69).
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * shingles[None, :] + b[:, None]
+    return vals.min(axis=1).view(np.int64)
+
+
+def simhash64(shingles: np.ndarray) -> int:
+    """64-bit SimHash over the shingle hash set: bit j of the result is
+    the majority vote of bit j across shingle hashes. Returns int64."""
+    bits = np.unpackbits(shingles.view(np.uint8).reshape(len(shingles), 8), axis=1)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 >= len(shingles)
+    packed = np.packbits(votes.astype(np.uint8))
+    return int(np.frombuffer(packed.tobytes(), dtype=np.uint64)[0].view(np.int64))
+
+
+def exact_jaccard(text_a: str, text_b: str, k: int,
+                  cache: dict[str, np.uint64] | None = None) -> float:
+    """Exact word-shingle Jaccard — the verification kernel (maps the
+    reference's exact re-ranking, src/basis.h:186-202, and
+    jaccard_AVX512, src/distances_simd_avx512.cpp:416-420)."""
+    if cache is None:
+        cache = {}
+    sa = shingle_hashes(text_a, k, cache)
+    sb = shingle_hashes(text_b, k, cache)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return float(inter) / float(union) if union else 1.0
+
+
+def hamming64(x: int, y: int) -> int:
+    """Hamming distance between two 64-bit SimHash fingerprints."""
+    return int(bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (substring pass)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(text: str, kgram: int, window: int) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD'03): distinct selected k-gram
+    hashes such that any two texts sharing a substring of length
+    >= window + kgram - 1 share at least one fingerprint. Content-
+    defined selection → offset-independent, so a verbatim span embedded
+    at any position still collides (replaces a global suffix array with
+    an embarrassingly parallel per-document pass).
+    """
+    data = text.encode("utf-8", errors="surrogatepass")
+    n = len(data)
+    if n < kgram:
+        return np.empty(0, dtype=U64)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(U64)
+    m = n - kgram + 1
+    # polynomial rolling hash of every k-gram, vectorized over positions
+    h = np.zeros(m, dtype=U64)
+    mult = _SHINGLE_MULT
+    # O(kgram) shifted adds; kgram=64 → 64 vector ops over the doc
+    with np.errstate(over="ignore"):
+        for j in range(kgram):
+            h = h * mult + arr[j:j + m]
+    if m < window:
+        # doc shorter than the guarantee length t = window + kgram - 1:
+        # it cannot contain a qualifying span, emit nothing
+        return np.empty(0, dtype=U64)
+    # sliding-window minimum via stride tricks (robust winnowing: pick
+    # the rightmost minimal hash in each window)
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    # rightmost min: reverse, argmin of reversed, map back
+    rev = sw[:, ::-1]
+    idx = (window - 1) - rev.argmin(axis=1)
+    picks = h[np.arange(len(sw)) + idx]
+    return np.unique(picks)
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Exact longest-common-substring length (verification for the
+    substring pass). difflib is O(n*m) worst case but candidate pairs
+    are already winnowing-filtered and rare."""
+    import difflib
+
+    sm = difflib.SequenceMatcher(None, a, b, autojunk=False)
+    match = sm.find_longest_match(0, len(a), 0, len(b))
+    return match.size

@@ -1,0 +1,102 @@
+"""Arrow-batched pandas UDFs around the numpy kernels.
+
+These are the only Python-side map operators in the hot path; each call
+processes one Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch
+rows) with numpy — the Spark analogue of the reference's SIMD kernels
+(cppCode/LSH-APG/src/fastL2_ip.h, distances_simd_avx512.cpp)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StructField, StructType,
+)
+
+from lsh_apg_spark.config import DedupConfig
+from lsh_apg_spark.functions import kernels
+
+_SIGNATURE_SCHEMA = StructType([
+    StructField("minhash", ArrayType(LongType(), False), False),
+    StructField("simhash", LongType(), False),
+])
+
+
+def make_signature_udf(cfg: DedupConfig):
+    """(text) -> struct<minhash: array<bigint>, simhash: bigint>.
+
+    Iterator form so the (a, b) MinHash params are materialized once per
+    executor task, not per batch — the Spark analogue of broadcasting
+    HashParam (reference src/def.h:24-34, seeded src/e2lsh.cpp:50-57).
+    """
+    k = cfg.shingle_size
+    num_hashes = cfg.num_hashes
+    seed = cfg.seed
+
+    @F.pandas_udf(_SIGNATURE_SCHEMA)
+    def signature_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        a, b = kernels.minhash_params(num_hashes, seed)
+        for texts in it:
+            cache: dict[str, np.uint64] = {}
+            minhashes = []
+            simhashes = np.empty(len(texts), dtype=np.int64)
+            for i, text in enumerate(texts):
+                sh = kernels.shingle_hashes(text or "", k, cache)
+                minhashes.append(kernels.minhash_signature(sh, a, b))
+                simhashes[i] = kernels.simhash64(sh)
+            yield pd.DataFrame({"minhash": minhashes, "simhash": simhashes})
+
+    return signature_udf
+
+
+def make_jaccard_udf(cfg: DedupConfig):
+    """(text_a, text_b) -> double exact word-shingle Jaccard.
+
+    The verification kernel (maps exact re-ranking src/e2lsh.cpp:170 and
+    the popcount Jaccard src/distances_simd_avx512.cpp:416-420). Shingle
+    sets are recomputed per pair: at web scale shipping texts to the
+    pair is cheaper than materializing every doc's full shingle set."""
+    k = cfg.shingle_size
+
+    @F.pandas_udf(DoubleType())
+    def jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for text_a, text_b in it:
+            cache: dict[str, np.uint64] = {}
+            out = np.empty(len(text_a), dtype=np.float64)
+            for i, (ta, tb) in enumerate(zip(text_a, text_b)):
+                out[i] = kernels.exact_jaccard(ta or "", tb or "", k, cache)
+            yield pd.Series(out)
+
+    return jaccard_udf
+
+
+def make_winnow_udf(cfg: DedupConfig):
+    """(text) -> array<bigint> winnowing fingerprints (substring pass)."""
+    kgram = cfg.winnow_kgram
+    window = cfg.winnow_window
+
+    @F.pandas_udf(ArrayType(LongType(), False))
+    def winnow_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield pd.Series([
+                kernels.winnow_fingerprints(t or "", kgram, window).view(np.int64)
+                for t in texts
+            ])
+
+    return winnow_udf
+
+
+def make_lcs_udf():
+    """(text_a, text_b) -> bigint longest-common-substring length."""
+    @F.pandas_udf(LongType())
+    def lcs_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for text_a, text_b in it:
+            yield pd.Series([
+                kernels.longest_common_substring_len(ta or "", tb or "")
+                for ta, tb in zip(text_a, text_b)
+            ], dtype=np.int64)
+
+    return lcs_udf

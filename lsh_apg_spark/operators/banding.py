@@ -1,0 +1,33 @@
+"""Stage 2 — LSH banding + multi-probe bucket rows (maps J1/J2 of
+SURVEY.md §2.4: the reference's L hash tables of K concatenated values,
+src/e2lsh.cpp:14-23, and its Z-order multi-probe scan,
+src/e2lsh.cpp:573-699).
+
+The "hash table" IS the shuffle: downstream groupBy/join on
+(band, probe, bhash) is Spark's distributed equivalent of the
+reference's in-memory multimaps. Band hashes are computed JVM-side
+(xxhash64 inside whole-stage codegen) — the pandas UDF boundary ends at
+the signature stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lsh_apg_spark.config import DedupConfig
+from lsh_apg_spark.functions.hashing import band_probe_structs
+
+
+def explode_buckets(signatures: DataFrame, cfg: DedupConfig,
+                    id_col: str = "url") -> DataFrame:
+    """(id, minhash, ...) -> (id, band INT, probe INT, bhash BIGINT).
+
+    Row count = N * bands * (1 + num_probes); with the frozen config
+    that is 48 rows/doc of 20 bytes — the explode factor is the
+    multi-probe recall knob (reference's lshUB probe budget,
+    src/divGraph.h:934-937)."""
+    return (
+        signatures
+        .select(id_col, F.explode(band_probe_structs(cfg)).alias("bp"))
+        .select(id_col, "bp.band", "bp.probe", "bp.bhash")
+    )

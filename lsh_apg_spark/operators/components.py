@@ -1,0 +1,83 @@
+"""Stage 5 — connected components over the verified edge list (maps A6:
+traverse()/connectivity() BFS labeling, src/divGraph.h:1233-1333).
+
+Iterative hash-partitioned min-label propagation with pointer jumping:
+
+  label(v) <- min(label(v), min over neighbors u of label(u))   [prop]
+  label(v) <- label(label(v))                                   [jump]
+
+Propagation alone converges in O(diameter) rounds; the jump step
+short-circuits chains (the salted-bucket rep chains are the worst
+case) giving O(log n) rounds. Each round is two shuffles; each round's
+result is localCheckpoint()-ed to truncate lineage — the in-sandbox
+analogue of the per-iteration Iceberg checkpoint used at prod scale.
+
+Labels are the document ids themselves (min url wins), so the final
+cluster_id = min member id — deterministic and order-independent, the
+tie-break SURVEY.md §7.4 demands."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "url",
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """edges(a, b) [+ nodes(id)] -> (id_col, cluster_id).
+
+    ``nodes`` supplies singleton documents (no edges) so every doc gets
+    an assignment; if omitted, only endpoint docs are labeled.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    # undirected: propagate both ways
+    und = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+
+    endpoints = und.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        endpoints = endpoints.unionByName(
+            nodes.select(F.col(id_col).alias("id"))).distinct()
+
+    labels = endpoints.select("id", F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    und = und.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        # prop: min label among self + neighbors
+        nbr = (
+            und.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "label")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("id").agg(F.min("label").alias("label"))
+        )
+        # jump: label <- label(label); labels are node ids so the
+        # lookup table is `labels` itself
+        lut = new.select(F.col("id").alias("label"),
+                         F.col("label").alias("_label2"))
+        new = (
+            new.join(lut, "label", "left")
+            .select("id", F.least("label", "_label2").alias("label"))
+        )
+        if checkpoint_every and it % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "id")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
+
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -1,0 +1,95 @@
+"""Stage 3 — candidate pair generation with hot-bucket skew defusal
+(maps J1 hash-bucket equi-probe, src/e2lsh.cpp:131-200, and the
+candidate cap lshUB, src/divGraph.h:369-370,934-937).
+
+All pair generation is JVM-side self-joins — no Python. Skew policy
+(the north_rule's explicit hot-bucket handling):
+
+* buckets with <= bucket_cap members: all-pairs within the bucket
+  (bounded at cap^2 rows per bucket, AQE-splittable join);
+* larger buckets are SALTED into subgroups of expected size
+  bucket_cap via a deterministic hash of the doc id; all-pairs run
+  within each subgroup, and subgroups are re-connected through their
+  min-id representatives (a chain over ceil(n/cap) reps), so a capped
+  bucket still resolves into one component transitively via CC —
+  candidate volume drops from O(n^2) to O(n*cap) without silently
+  losing connectivity.
+
+Nothing here depends on row order or partitioning: the emitted pair
+SET is deterministic (unlike the reference's clock-seeded insertion
+shuffle, src/divGraph.h:784-786)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lsh_apg_spark.config import DedupConfig
+from lsh_apg_spark.functions.hashing import canonical_pair
+
+BUCKET_KEY = ["band", "probe", "bhash"]
+
+
+def _all_pairs_within(buckets: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    a = buckets.select(*keys, F.col(id_col).alias("_ida"))
+    b = buckets.select(*keys, F.col(id_col).alias("_idb"))
+    return (
+        a.join(b, keys)
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("a"), F.col("_idb").alias("b"))
+    )
+
+
+def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
+                    id_col: str = "url") -> DataFrame:
+    """(id, band, probe, bhash) -> distinct candidate (a, b), a < b."""
+    cap = cfg.bucket_cap
+
+    sizes = buckets.groupBy(*BUCKET_KEY).agg(F.count(F.lit(1)).alias("_n"))
+    with_n = buckets.join(sizes, BUCKET_KEY)
+
+    small = with_n.filter(F.col("_n") <= cap).drop("_n")
+    small_pairs = _all_pairs_within(small, BUCKET_KEY, id_col)
+
+    big = (
+        with_n.filter(F.col("_n") > cap)
+        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col), F.lit("pair-salt")),
+                                   F.ceil(F.col("_n") / cap).cast("long")))
+        .drop("_n")
+    )
+    salted_keys = BUCKET_KEY + ["salt"]
+    big_pairs = _all_pairs_within(big, salted_keys, id_col)
+
+    # re-connect subgroups through their min-id representatives so the
+    # salted bucket still forms one candidate component
+    reps = big.groupBy(*salted_keys).agg(F.min(id_col).alias("rep"))
+    w = Window.partitionBy(*BUCKET_KEY).orderBy("salt")
+    rep_chain = (
+        reps.withColumn("prev", F.lag("rep").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("rep")))
+        .select(F.least("prev", "rep").alias("a"), F.greatest("prev", "rep").alias("b"))
+    )
+
+    pa, pb = canonical_pair("a", "b")
+    return (
+        small_pairs.unionByName(big_pairs).unionByName(rep_chain)
+        .select(pa.alias("a"), pb.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def bucket_stats(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Skew observability (maps graph statistics showInfo,
+    src/divGraph.h:1148-1231): bucket-size distribution + how many
+    buckets were salted. Logged to the metrics sink every run — capped
+    volume is never silently dropped."""
+    sizes = buckets.groupBy(*BUCKET_KEY).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("num_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.avg("n").alias("avg_bucket"),
+        F.sum((F.col("n") > cfg.bucket_cap).cast("long")).alias("salted_buckets"),
+        F.sum(F.when(F.col("n") > cfg.bucket_cap, F.col("n")).otherwise(0))
+         .alias("salted_rows"),
+    )

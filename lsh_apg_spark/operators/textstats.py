@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting. All pure
+built-in pyspark.sql.functions (whole-stage codegen; no UDFs), so each
+has an exact ANSI-SQL oracle.
+
+The reference's only profiling analogue is Preprocess::showDataset
+(min/max/avg/std, src/Preprocess.cpp:256-292) → dataset_profile here;
+the rest are the web-text operators the north_star pipeline needs
+upstream of dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small seeded stopword profiles for the n-gram/stopword language
+# heuristic; deliberately tiny — the operator contract is the shape
+# (argmax over per-language evidence), not lexicographic coverage
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "for", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "de", "que", "los", "una", "es", "por", "con", "para"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def tokens_col(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-doc token/char counts (whitespace tokenization)."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("token_count"),
+        F.length(text_col).alias("char_count"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: alpha ratio, mean token length,
+    stopword ratio — the standard cheap filters in web-text curation."""
+    toks = tokens_col(text_col)
+    n_toks = F.size(toks)
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return docs.select(
+        F.col(id_col),
+        F.round(alpha / F.greatest(F.length(text_col), F.lit(1)), 4)
+         .alias("alpha_ratio"),
+        F.round(F.length(text_col) / F.greatest(n_toks, F.lit(1)), 4)
+         .alias("mean_token_len"),
+        F.round(n_stop / F.greatest(n_toks, F.lit(1)), 4)
+         .alias("stopword_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Stopword-evidence language guesser: per-language score = number
+    of distinct tokens that hit the language's stopword list; predicted
+    lang = argmax with fixed-order tie-break."""
+    toks = F.array_distinct(tokens_col(text_col))
+    scores = {
+        lg: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lg]])))
+        for lg in LANG_ORDER
+    }
+    best = F.greatest(*[scores[lg] for lg in LANG_ORDER])
+    pred = F.lit("und")
+    for lg in reversed(LANG_ORDER):  # earlier langs win ties
+        pred = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    out = docs.select(
+        F.col(id_col),
+        *[scores[lg].alias(f"score_{lg}") for lg in LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 (exact-dup key, portable to any SQL
+    engine) + xxhash64 (cheap 64-bit join key)."""
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("binary")).alias("md5"),
+        F.xxhash64(F.col(text_col)).alias("xxh64"),
+    )
+
+
+def dataset_profile(docs: DataFrame, group_col: str = "lang",
+                    value_col: str = "n_chars") -> DataFrame:
+    """Per-group value profile (maps S10 showDataset,
+    src/Preprocess.cpp:256-292)."""
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+            F.round(F.avg(value_col), 4).alias("avg_v"),
+            F.round(F.stddev_samp(value_col), 4).alias("std_v"),
+        )
+    )

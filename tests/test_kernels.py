@@ -1,0 +1,96 @@
+"""Unit tests for the numpy kernels (SURVEY.md §5: shingling
+determinism, MinHash ≈ Jaccard, SimHash monotonicity, winnowing
+guarantee)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from lsh_apg_spark.functions import kernels
+
+
+def test_shingle_determinism():
+    t = "The quick brown Fox jumps over the lazy dog"
+    a = kernels.shingle_hashes(t, 3, {})
+    b = kernels.shingle_hashes(t, 3, {})
+    assert np.array_equal(a, b)
+    # case/whitespace normalization is frozen behavior
+    c = kernels.shingle_hashes("the  quick BROWN fox jumps over the lazy dog", 3, {})
+    assert np.array_equal(a, c)
+
+
+def test_shingle_short_and_empty_docs():
+    assert kernels.shingle_hashes("", 3, {}).size == 1
+    assert kernels.shingle_hashes("one two", 3, {}).size == 1
+    assert not np.array_equal(
+        kernels.shingle_hashes("one two", 3, {}),
+        kernels.shingle_hashes("two one", 3, {}),
+    )
+
+
+def _random_doc(rng: random.Random, n: int) -> list[str]:
+    return [f"tok{rng.randrange(500)}" for _ in range(n)]
+
+
+def test_minhash_estimates_jaccard():
+    rng = random.Random(7)
+    a, b = kernels.minhash_params(256, seed=42)
+    for _ in range(5):
+        base = _random_doc(rng, 300)
+        var = list(base)
+        for _ in range(30):
+            var[rng.randrange(len(var))] = f"tok{rng.randrange(500)}"
+        sa = kernels.shingle_hashes(" ".join(base), 3, {})
+        sb = kernels.shingle_hashes(" ".join(var), 3, {})
+        inter = np.intersect1d(sa, sb).size
+        true_j = inter / (sa.size + sb.size - inter)
+        ma = kernels.minhash_signature(sa, a, b)
+        mb = kernels.minhash_signature(sb, a, b)
+        est = float((ma == mb).mean())
+        assert abs(est - true_j) < 0.12, (est, true_j)
+
+
+def test_simhash_hamming_monotone():
+    rng = random.Random(11)
+    base = _random_doc(rng, 400)
+    sh_base = kernels.simhash64(kernels.shingle_hashes(" ".join(base), 3, {}))
+    dists = []
+    for frac in (0.01, 0.10, 0.50):
+        var = list(base)
+        for _ in range(int(len(var) * frac)):
+            var[rng.randrange(len(var))] = f"new{rng.randrange(10**6)}"
+        sh = kernels.simhash64(kernels.shingle_hashes(" ".join(var), 3, {}))
+        dists.append(kernels.hamming64(sh_base, sh))
+    assert dists[0] <= dists[1] <= dists[2]
+    assert dists[0] <= 6  # 1% edits stay within a few bits
+
+
+def test_winnowing_guarantee():
+    """Any two texts sharing a span >= window + kgram - 1 share a
+    fingerprint — the theorem the substring pass rests on."""
+    rng = random.Random(13)
+    kgram, window = 16, 35  # t = 50 chars
+    span = "".join(rng.choice("abcdefgh ") for _ in range(80))
+    a = "".join(rng.choice("qrstuvwx ") for _ in range(100)) + span
+    b = span + "".join(rng.choice("ijklmnop ") for _ in range(100))
+    fa = kernels.winnow_fingerprints(a, kgram, window)
+    fb = kernels.winnow_fingerprints(b, kgram, window)
+    assert np.intersect1d(fa, fb).size > 0
+    # and disjoint texts share nothing
+    c = "".join(rng.choice("0123456 ") for _ in range(200))
+    fc = kernels.winnow_fingerprints(c, kgram, window)
+    assert np.intersect1d(fa, fc).size == 0
+
+
+def test_exact_jaccard_bounds():
+    assert kernels.exact_jaccard("a b c d e", "a b c d e", 3) == 1.0
+    assert kernels.exact_jaccard("a b c d e", "v w x y z", 3) == 0.0
+    j = kernels.exact_jaccard("a b c d e f g h", "a b c d e f g x", 3)
+    assert 0.0 < j < 1.0
+
+
+def test_lcs_len():
+    assert kernels.longest_common_substring_len("hello world", "say hello world!") == 11
+    assert kernels.longest_common_substring_len("abc", "xyz") == 0
