@@ -36,7 +36,8 @@ class DedupConfig:
     min_substring_len: int = 200   # chars; guarantee t = window + kgram - 1
     winnow_kgram: int = 64         # chars per fingerprinted k-gram
     # --- skew defusal (maps candidate cap lshUB, divGraph.h:934-937)
-    bucket_cap: int = 64           # all-pairs only among first `cap` members
+    bucket_cap: int = 64           # buckets larger than this get salted
+    salt_subgroup: int = 8         # expected subgroup size inside salted buckets
     # --- determinism
     seed: int = 42
 

@@ -90,10 +90,16 @@ def generate_pages(n_docs: int = 400, seed: int = 42,
     n_near = max(2, int(n_docs * 0.15))
     n_sub = max(2, int(n_docs * 0.05))
 
-    # hot group: identical boilerplate text (mega-bucket in every band)
-    hot_text = soup(120, 160)
-    for _ in range(n_hot):
-        rows.append(_mk_row(i, hot_text, "en"))
+    # hot group: near-identical boilerplate (mega-bucket in most bands).
+    # Each member gets 1-2 token substitutions so texts are DISTINCT —
+    # they survive the exact-dup collapse and stress the salting path —
+    # while pairwise Jaccard stays ~0.95 >> tau (all true dups).
+    hot_base = soup(140, 160).split()
+    for v in range(n_hot):
+        toks = list(hot_base)
+        for e in range(1 + v % 2):
+            toks[(v * 7 + e * 13) % len(toks)] = vocab[(v * 31 + e) % len(vocab)]
+        rows.append(_mk_row(i, " ".join(toks), "en"))
         fx.hot_group.append(rows[-1]["url"])
         i += 1
 

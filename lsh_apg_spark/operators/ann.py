@@ -38,8 +38,10 @@ def bruteforce_topk(
     window's partial aggregation)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    score = (vectors.cosine("_qv", "_cv") if metric == "cosine"
-             else -vectors.l2_sq("_qv", "_cv"))
+    pair_score = vectors.make_pair_score_udf(
+        "cosine" if metric == "cosine" else "l2_sq")
+    score = (pair_score(F.col("_qv"), F.col("_cv")) if metric == "cosine"
+             else -pair_score(F.col("_qv"), F.col("_cv")))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -111,11 +113,12 @@ def lsh_topk(
 
     qb = to_buckets(queries, "query")
     cb = to_buckets(corpus, "neighbor")
+    pair_score = vectors.make_pair_score_udf("cosine")
     cands = (
         qb.join(cb, ["band", "bhash"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("score", vectors.cosine("_queryv", "_neighborv"))
+        .withColumn("score", pair_score(F.col("_queryv"), F.col("_neighborv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id"))

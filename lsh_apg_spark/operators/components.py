@@ -49,6 +49,17 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     und = und.localCheckpoint(eager=True)
 
+    # convergence via a one-job checksum: labels only ever decrease
+    # (min-propagation is monotone), so an unchanged hash-sum means a
+    # fixpoint — cheaper than a join+count per iteration
+    def checksum(df: DataFrame):
+        # decimal accumulation: a sum of int64 hashes overflows LongType
+        # under ANSI mode
+        return df.agg(
+            F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))
+             .alias("s")).collect()[0]["s"]
+
+    prev = checksum(labels)
     for it in range(max_iter):
         # prop: min label among self + neighbors
         nbr = (
@@ -69,14 +80,11 @@ def connected_components(
         )
         if checkpoint_every and it % checkpoint_every == 0:
             new = new.localCheckpoint(eager=True)
-        changed = (
-            new.join(labels.withColumnRenamed("label", "_old"), "id")
-            .filter(F.col("label") != F.col("_old"))
-            .limit(1).count()
-        )
         labels = new
-        if changed == 0:
+        cur = checksum(labels)
+        if cur == prev:
             break
+        prev = cur
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
 

@@ -54,7 +54,8 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
     big = (
         with_n.filter(F.col("_n") > cap)
         .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col), F.lit("pair-salt")),
-                                   F.ceil(F.col("_n") / cap).cast("long")))
+                                   F.ceil(F.col("_n") / cfg.salt_subgroup)
+                                    .cast("long")))
         .drop("_n")
     )
     salted_keys = BUCKET_KEY + ["salt"]

@@ -32,9 +32,9 @@ from lsh_apg_spark.sources.metrics import MetricsSink
 class DedupResult:
     signatures: DataFrame
     pairs: DataFrame
-    edges: DataFrame          # (a, b, jaccard, hamming)
+    edges: DataFrame          # (a, b, jaccard, hamming) — representative docs
     substring: DataFrame | None  # (a, b, lcs_len) or None
-    clusters: DataFrame       # (url, cluster_id)
+    clusters: DataFrame       # (url, cluster_id) — every input url
     metrics: list[dict]
 
 
@@ -74,7 +74,27 @@ def run_dedup(
             sink.log(name, **row)
         return df
 
-    docs = pages.select(id_col, text_col)
+    all_docs = pages.select(id_col, text_col)
+
+    # stage 0 — exact-duplicate collapse: identical texts (jaccard 1 >=
+    # any tau) are folded onto their min-id representative BEFORE the
+    # LSH stages. Web corpora are exact-dup heavy, and identical texts
+    # are the worst mega-bucket generators (they collide in EVERY
+    # band): collapsing first removes that skew at its source and
+    # shrinks all downstream stages; the final expansion join restores
+    # every url. Cluster assignments are unchanged — an exact dup
+    # always joins its representative's cluster.
+    def build_rep_map() -> DataFrame:
+        keyed = all_docs.select(
+            F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_k"))
+        reps = keyed.groupBy("_k").agg(F.min(id_col).alias("_rep"))
+        return keyed.join(reps, "_k").select(id_col, "_rep")
+
+    rep_map = stage("rep_map", build_rep_map)
+    docs = (
+        rep_map.filter(F.col(id_col) == F.col("_rep")).select(id_col)
+        .join(all_docs, id_col)
+    )
 
     signatures = stage("signatures", lambda: compute_signatures(
         docs, cfg, id_col=id_col, text_col=text_col))
@@ -94,8 +114,16 @@ def run_dedup(
         e = edges.select("a", "b")
         if sub is not None:
             e = e.unionByName(sub.select("a", "b"))
-        return connected_components(
+        rep_clusters = connected_components(
             e, nodes=docs.select(id_col), id_col=id_col)
+        # expand representative clusters back to every url; the rep is
+        # its exact-group's min id and the cluster label is the min rep
+        # in the component, so cluster_id == global min member id
+        return (
+            rep_map
+            .join(rep_clusters.withColumnRenamed(id_col, "_rep"), "_rep")
+            .select(id_col, "cluster_id")
+        )
 
     clusters = stage("clusters", build_clusters)
 

@@ -56,14 +56,35 @@ class CheckpointStore:
         return self.spark.read.parquet(self._path(name))
 
     def write(self, df: DataFrame, name: str) -> DataFrame:
+        return self.write_many({name: df})[name]
+
+    def write_many(self, named: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Two-phase overwrite of several stages whose plans may READ the
+        current checkpoints (the incremental-state refresh): first
+        materialize every new table to a tmp dir while the old files are
+        still on disk, then swap all paths. Swapping one-at-a-time would
+        break later writes whose lazy plans scan an already-replaced
+        path (Spark resolves parquet file lists at read time, and an
+        in-place overwrite produces new file names). The Iceberg
+        production analogue is snapshot isolation — a writer never
+        deletes files a concurrent reader's snapshot references."""
         t0 = time.monotonic()
-        path = self._path(name)
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
-        out = self.spark.read.parquet(path)
+        tmps: dict[str, str] = {}
+        for name, df in named.items():
+            tmp = self._path(name) + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.write.mode("overwrite").parquet(tmp)
+            tmps[name] = tmp
+        out: dict[str, DataFrame] = {}
+        for name, tmp in tmps.items():
+            path = self._path(name)
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
+            out[name] = self._finish(name, t0)
+        return out
+
+    def _finish(self, name: str, t0: float) -> DataFrame:
+        out = self.spark.read.parquet(self._path(name))
         per_part = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .count().collect()

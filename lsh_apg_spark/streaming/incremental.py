@@ -1,0 +1,123 @@
+"""Incremental dedup micro-batches (maps the reference's online insert,
+insertLSHRefine src/divGraph.h:471-526, reinterpreted without shared
+mutable state — SURVEY.md §2.10).
+
+Per batch of new pages:
+
+  1. anti-join against already-seen urls (idempotent re-delivery);
+  2. signatures + bucket rows for the NEW docs only;
+  3. candidate pairs = new-vs-all equi-join on bucket keys (the new
+     docs probe the existing 'hash table', exactly like the
+     reference's per-point searchLSH probe) + new-vs-new pairs;
+  4. verify against the union text corpus;
+  5. union edges, re-run CC, rewrite cluster assignments.
+
+All state lives in checkpoint tables (signatures/buckets/edges/
+clusters + the pages seen so far) — every step is a pure DataFrame
+job, so a crashed batch just re-runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsh_apg_spark.config import DedupConfig
+from lsh_apg_spark.operators.banding import explode_buckets
+from lsh_apg_spark.operators.components import connected_components
+from lsh_apg_spark.operators.pairs import candidate_pairs
+from lsh_apg_spark.operators.signatures import compute_signatures
+from lsh_apg_spark.operators.verify import prefilter_pairs, verify_edges
+from lsh_apg_spark.sources.checkpoints import CheckpointStore
+
+
+def dedup_increment(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    store: CheckpointStore,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Process one batch of new pages; returns the refreshed
+    (url, cluster_id) assignment over the whole corpus so far."""
+    new_docs = new_pages.select(id_col, text_col).dropDuplicates([id_col])
+
+    have_state = store.exists("docs")
+    if have_state:
+        old_docs = store.read("docs")
+        new_docs = new_docs.join(old_docs.select(id_col), id_col, "left_anti")
+        old_sigs = store.read("signatures")
+        old_buckets = store.read("buckets")
+        old_edges = store.read("edges")
+    else:
+        old_docs = None
+
+    new_sigs = compute_signatures(new_docs, cfg, id_col, text_col)
+    new_buckets = explode_buckets(new_sigs, cfg, id_col)
+
+    if have_state:
+        all_docs = old_docs.unionByName(new_docs)
+        all_sigs = old_sigs.unionByName(new_sigs)
+        # new docs probe existing buckets AND collide among themselves:
+        # pair generation over (old ∪ new) restricted to pairs touching
+        # a new doc — the anti-join keeps us from re-verifying old-old
+        both = old_buckets.unionByName(new_buckets)
+        pairs = candidate_pairs(both, cfg, id_col)
+        new_ids = new_docs.select(F.col(id_col).alias("a"))
+        new_ids_b = new_docs.select(F.col(id_col).alias("b"))
+        touching_new = pairs.join(new_ids, "a", "left_semi").unionByName(
+            pairs.join(new_ids_b, "b", "left_semi")).dropDuplicates(["a", "b"])
+    else:
+        all_docs = new_docs
+        all_sigs = new_sigs
+        both = new_buckets
+        touching_new = candidate_pairs(new_buckets, cfg, id_col)
+
+    new_edges = verify_edges(
+        prefilter_pairs(touching_new, all_sigs, cfg, id_col),
+        all_docs, cfg, id_col, text_col)
+    edges = (old_edges.unionByName(new_edges).dropDuplicates(["a", "b"])
+             if have_state else new_edges)
+
+    clusters = connected_components(
+        edges.select("a", "b"), nodes=all_docs.select(id_col), id_col=id_col)
+
+    # persist refreshed state: two-phase write_many, because every one
+    # of these plans still lazily READS the previous checkpoints —
+    # swapping paths one at a time would pull files out from under the
+    # later writes (see CheckpointStore.write_many)
+    out = store.write_many({
+        "docs": all_docs,
+        "signatures": all_sigs,
+        "buckets": both,
+        "edges": edges,
+        "clusters": clusters,
+    })
+    return out["clusters"]
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    store: CheckpointStore,
+    cfg: DedupConfig,
+    stream_checkpoint: str,
+    schema: str = ("url string, warc_ts timestamp, html binary, "
+                   "text string, lang string"),
+):
+    """Structured Streaming wrapper: watch a directory of parquet page
+    drops, run dedup_increment per micro-batch. Trigger availableNow
+    drains what's there and stops (test/backfill mode); drop the
+    trigger for continuous ingestion."""
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_increment(spark, batch_df, store, cfg)
+
+    return (
+        src.writeStream
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,121 @@
+"""Operator-level tests: ANN recall vs exact top-k (mirror of the
+reference's recall evaluation, src/Query.cpp:9-67), SimHash near-dup,
+multimodal plumbing, text stats sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_apg_spark.config import DedupConfig
+from lsh_apg_spark.operators import ann, dedup, multimodal, textstats
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.Generator(np.random.PCG64(5))
+    # clustered vectors so top-k has structure: 40 centers x 10 members
+    centers = rng.standard_normal((40, 32))
+    rows = []
+    vid = 0
+    for c in range(40):
+        for _ in range(10):
+            v = centers[c] + 0.15 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    return spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    ).localCheckpoint(eager=True)
+
+
+def test_bruteforce_topk_finds_cluster_members(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5)
+    top = ann.bruteforce_topk(q, embeddings, k=9)
+    rows = top.collect()
+    assert len(rows) == 45
+    # neighbors of a clustered point should mostly share its label
+    labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    same = sum(1 for r in rows
+               if labels[r["query_id"]] == labels[r["neighbor_id"]])
+    assert same / len(rows) > 0.9
+
+
+def test_lsh_topk_recall(embeddings):
+    """Approximate top-k recall >= 0.8 vs exact on clustered data —
+    the reference's headline metric shape (recall at fixed config)."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(q, embeddings, k=5)
+    approx = ann.lsh_topk(q, embeddings, k=5, dim=32,
+                          bands=8, rows_per_band=4, seed=42)
+    rec = ann.ann_recall(approx, exact)
+    assert rec >= 0.8, f"ANN recall {rec:.3f}"
+
+
+def test_simhash_neardup_on_fixture(spark):
+    from lsh_apg_spark.fixtures import PAGES_SCHEMA, generate_pages
+    from lsh_apg_spark.operators.signatures import compute_signatures
+    fx = generate_pages(n_docs=120, seed=3)
+    pages = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA)
+    sigs = compute_signatures(pages.select("url", "text"), CFG)
+    pairs = dedup.simhash_neardup_pairs(sigs, CFG)
+    found = {(r["a"], r["b"]) for r in pairs.collect()}
+    # exact duplicates have hamming 0 → must all be found
+    for grp in fx.exact_groups:
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                p = (min(grp[i], grp[j]), max(grp[i], grp[j]))
+                assert p in found, f"exact-dup pair {p} missing"
+
+
+def test_exact_dedup_matches_cc_variant(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y"), (3, "x y"), (4, "solo"),
+         (17, "a b c")],
+        "doc_id long, text string")
+    d1 = {(r["doc_id"], r["canonical_id"])
+          for r in dedup.exact_dedup(docs).collect()}
+    d2 = {(r["doc_id"], r["canonical_id"])
+          for r in dedup.exact_dedup_clusters(docs).collect()}
+    assert d1 == d2 == {(0, 0), (1, 0), (17, 0), (2, 2), (3, 2), (4, 4)}
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", 64, 64, None),
+        (2, "audio", b"RIFF fake wav", None, None, 1200),
+        (3, "image", None, 0, 0, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(media, dim=8).collect()
+    assert {r["id"] for r in out} == {1, 2, 3}
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == len(b"\x89PNG fake bytes")
+    assert by_id[3]["n_bytes"] == 0
+    assert all(len(r["feature"]) == 8 for r in out)
+    # deterministic: same payload → same feature
+    out2 = multimodal.extract_features(media, dim=8).collect()
+    assert {tuple(r["feature"]) for r in out} == {tuple(r["feature"]) for r in out2}
+
+
+def test_multimodal_stub_gate(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"x", 1, 1, None)], multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_textstats_sanity(spark):
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox and the lazy dog", "en", "s", 37),
+         (2, "der hund und die katze ist nicht da", "de", "s", 35)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    ts = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
+    assert ts[1]["token_count"] == 8
+    assert ts[1]["distinct_tokens"] == 7  # 'the' twice after lowering
+    li = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert li[1] == "en" and li[2] == "de"

@@ -15,13 +15,16 @@ from lsh_apg_spark.fixtures import (
 from lsh_apg_spark.pipeline import run_dedup
 
 CFG = DedupConfig()
-# hot group > bucket_cap so the main run exercises salting + rep chains
-HOT = CFG.bucket_cap + 16
+# hot group is near-identical (distinct texts) so it survives the
+# exact-dup collapse; 2x bucket_cap members keeps its LSH buckets above
+# the cap even though band membership is probabilistic (~0.5-0.7 of the
+# group per bucket), so the main run exercises salting + rep chains
+HOT = CFG.bucket_cap * 2
 
 
 @pytest.fixture(scope="module")
 def fixture_bundle(spark):
-    fx = generate_pages(n_docs=300, seed=42, hot_group_size=HOT)
+    fx = generate_pages(n_docs=360, seed=42, hot_group_size=HOT)
     gp = golden_pairs(fx.pages, CFG)
     gc = golden_clusters(fx.pages, gp)
     pages = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA)
@@ -95,6 +98,9 @@ def test_hot_group_salted_and_connected(fixture_bundle, result):
     fx, _, _, _ = fixture_bundle
     hot = set(fx.hot_group)
     assert len(hot) == HOT > CFG.bucket_cap
+    # distinct texts → the collapse stage must NOT fold them
+    n_texts = fx.pages[fx.pages["url"].isin(hot)]["text"].nunique()
+    assert n_texts == HOT
     stats = next(m for m in result.metrics if m["stage"] == "bucket_stats")
     assert stats["salted_buckets"] > 0, "hot group did not trigger salting"
     rows = result.clusters.filter(F.col("url").isin(list(hot))).collect()
