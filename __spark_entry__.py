@@ -93,6 +93,24 @@ def _q_ann_bruteforce(spark, sf):
     return ann.bruteforce_topk(queries, e, k=5).orderBy("query_id", "rank")
 
 
+def _q_events_windowed(spark, sf):
+    from lsh_apg_spark.operators.events import windowed_event_stats
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return windowed_event_stats(ev).orderBy("window_start", "event_type")
+
+
+def _q_sessionize(spark, sf):
+    from lsh_apg_spark.operators.events import sessionize
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sessionize(ev).orderBy("user_id", "session_id")
+
+
+def _q_json_props(spark, sf):
+    from lsh_apg_spark.operators.events import json_prop_stats
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return json_prop_stats(ev).orderBy("event_type")
+
+
 def _q_topk_orders(spark, sf):
     """A2 top-k per group via window (maps heap top-k, src/e2lsh.cpp:190)."""
     o = spark.read.parquet(f"{sf}/orders.parquet")
@@ -148,20 +166,33 @@ def _q_pricing_summary(spark, sf):
 
 
 def _q_minhash_lsh_pairs(spark, sf):
-    """LSH candidate path on documents (rows-only: hash-seeded)."""
+    """LSH candidate path on documents. Oracle-checkable: at the frozen
+    config the LSH pass has recall 1.0 on this corpus and every edge
+    carries the EXACT Jaccard, so the result equals the brute-force
+    all-pairs oracle at the same tau (the reference's recall-vs-oracle
+    gate, src/Query.cpp:58-66, pushed all the way to equality)."""
     docs = _docs(spark, sf).select(
         F.col("doc_id").cast("string").alias("url"), "text")
     from lsh_apg_spark.operators.pairs import candidate_pairs
-    from lsh_apg_spark.operators.verify import prefilter_pairs, verify_edges
+    from lsh_apg_spark.operators.verify import verify_edges
     sigs = compute_signatures(docs, CFG)
     pairs = candidate_pairs(explode_buckets(sigs, CFG), CFG)
-    return verify_edges(
-        prefilter_pairs(pairs, sigs, CFG), docs, CFG
-    ).select("a", "b", F.round("jaccard", 4).alias("jaccard")).orderBy("a", "b")
+    edges = verify_edges(pairs, sigs, CFG)
+    ai = F.col("a").cast("bigint")
+    bi = F.col("b").cast("bigint")
+    return (
+        edges.select(
+            F.least(ai, bi).alias("a"), F.greatest(ai, bi).alias("b"),
+            F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a", "b")
+    )
 
 
 def _q_minhash_lsh_clusters(spark, sf):
-    """Full pipeline -> (url, cluster_id) (rows-only: hash-seeded)."""
+    """Full pipeline -> (url, cluster_id). Oracle-checkable: cluster_id
+    is the lexicographic min url of the connected component over the
+    tau-edge graph, which DuckDB replays with a recursive CTE over the
+    brute-force pair set."""
     pages = pages_from_documents(_docs(spark, sf))
     return run_dedup(spark, pages, CFG, include_substring=False) \
         .clusters.orderBy("url")
@@ -186,6 +217,27 @@ def _q_ann_lsh(spark, sf):
     return ann.lsh_topk(queries, e, k=5, dim=64).orderBy("query_id", "rank")
 
 
+def _q_media_features(spark, sf):
+    """Multimodal plumbing (mapInPandas over BINARY payloads): the
+    deterministic fake-decode runs for real; only the SQL-checkable
+    metadata columns are exposed to the oracle (the feature vector is
+    gated by tests/test_operators.py)."""
+    from lsh_apg_spark.operators.multimodal import extract_features
+    media = _docs(spark, sf).select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("text/"), F.col("source")).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return (
+        extract_features(media, dim=16)
+        .select("id", "media_type", "n_bytes")
+        .orderBy("id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup family
@@ -206,6 +258,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "dataset_profile": _q_profile,
+        # multimodal plumbing
+        "media_features": _q_media_features,
+        # event-log operators (windows/sessionization/json)
+        "events_windowed": _q_events_windowed,
+        "sessionize": _q_sessionize,
+        "json_prop_stats": _q_json_props,
         # generic relational operators (joins/aggs/windows)
         "topk_orders_per_customer": _q_topk_orders,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -223,9 +281,8 @@ _STOP_SQL = {
 }
 
 
-def oracle_sql() -> dict[str, str]:
-    shingles_cte = """
-        WITH toks AS (
+_SHINGLES_CTE = """
+        toks AS (
             SELECT doc_id,
                    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
             FROM documents
@@ -235,8 +292,26 @@ def oracle_sql() -> dict[str, str]:
                    unnest(list_transform(range(1, len(t) - 1),
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
             FROM toks WHERE len(t) >= 3
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM sh x JOIN sh y ON x.shingle = y.shingle
+                      AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ),
+        bf AS (
+            SELECT a, b,
+                   i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
         )
     """
+
+
+def oracle_sql() -> dict[str, str]:
+    shingles_cte = "WITH " + _SHINGLES_CTE
     lang_scores = ",\n".join(
         f"len(list_intersect(dt, {_STOP_SQL[lg]})) AS score_{lg}"
         for lg in _LANGS
@@ -255,21 +330,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
             FROM documents ORDER BY doc_id
         """,
-        "bruteforce_jaccard_pairs": shingles_cte + """,
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-                FROM sh x JOIN sh y ON x.shingle = y.shingle
-                          AND x.doc_id < y.doc_id
-                GROUP BY 1, 2
+        "bruteforce_jaccard_pairs": shingles_cte + """
+            SELECT a, b, round(jaccard, 4) AS jaccard
+            FROM bf WHERE jaccard >= 0.5 ORDER BY a, b
+        """,
+        "minhash_lsh_pairs": shingles_cte + f"""
+            SELECT a, b, round(jaccard, 4) AS jaccard
+            FROM bf WHERE jaccard >= {CFG.tau} ORDER BY a, b
+        """,
+        "minhash_lsh_clusters": "WITH RECURSIVE " + _SHINGLES_CTE + f""",
+            e AS (SELECT a, b FROM bf WHERE jaccard >= {CFG.tau}
+                  UNION
+                  SELECT x.doc_id AS a, y.doc_id AS b
+                  FROM documents x JOIN documents y
+                       ON x.text = y.text AND x.doc_id < y.doc_id),
+            sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.r FROM reach
+                JOIN sym ON sym.a = reach.node
             )
-            SELECT a, b,
-                   round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
-            FROM inter
-            JOIN sz sa ON sa.doc_id = a
-            JOIN sz sb ON sb.doc_id = b
-            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
-            ORDER BY a, b
+            SELECT 'https://docs.example/' || node::VARCHAR AS url,
+                   min('https://docs.example/' || r::VARCHAR) AS cluster_id
+            FROM reach GROUP BY node ORDER BY url
+        """,
+        "media_features": """
+            SELECT doc_id AS id, 'text/' || source AS media_type,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents ORDER BY id
         """,
         "token_stats": """
             SELECT doc_id,
@@ -344,6 +433,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(s, 4) AS score, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize": """
+            WITH b AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts)
+                                 - lag(epoch(ts)) OVER
+                                   (PARTITION BY user_id
+                                    ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_session) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM b
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "json_prop_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_prop
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "topk_orders_per_customer": """
             WITH r AS (

@@ -70,13 +70,24 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_parallelism_level(cpus: int, sf: float) -> dict:
+def _scaling_docs() -> int:
+    """Corpus size for the two-level scaling measurement. Larger than
+    the headline-sf corpus on purpose: the scaling criterion is about
+    how per-core WORK scales, so the job must be compute-dominated —
+    at small n the fixed per-stage costs (job scheduling, stage
+    barriers, the CC driver loop) swamp the signal, exactly as a
+    1000-executor cluster would be swamped by a 1-minute job."""
+    return int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
+
+
+def run_parallelism_level(cpus: int, n_docs: int) -> dict:
     """Run the full dedup job at one parallelism level in a fresh
     session; returns wall time + throughput. A small warmup run first
     so codegen compilation and Python-worker startup (fixed costs that
     vanish at cluster scale) don't pollute the scaling measurement."""
     from pyspark.sql import SparkSession
 
+    from lsh_apg_spark.fixtures import PAGES_SCHEMA, generate_pages
     from lsh_apg_spark.session import get_spark
 
     active = SparkSession.getActiveSession()
@@ -87,7 +98,9 @@ def run_parallelism_level(cpus: int, sf: float) -> dict:
     try:
         warm = _make_pages(spark, 0.002)
         _run_dedup(spark, warm)
-        pages = _make_pages(spark, sf)
+        fx = generate_pages(n_docs=n_docs, seed=42)
+        pages = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA) \
+            .repartition(max(8, cpus)).localCheckpoint(eager=True)
         n = pages.count()
         t0 = time.monotonic()
         n_clusters = _run_dedup(spark, pages)
@@ -98,9 +111,10 @@ def run_parallelism_level(cpus: int, sf: float) -> dict:
         spark.stop()
 
 
-def write_scaling_report(sf: float, path: str = "BENCH/BASELINE.md") -> dict:
-    lo = run_parallelism_level(8, sf)
-    hi = run_parallelism_level(32, sf)
+def write_scaling_report(path: str = "BENCH/BASELINE.md") -> dict:
+    n_docs = _scaling_docs()
+    lo = run_parallelism_level(8, n_docs)
+    hi = run_parallelism_level(32, n_docs)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
@@ -164,7 +178,7 @@ def main() -> None:
     }
     if scaling:
         spark.stop()
-        result["scaling"] = write_scaling_report(sf)
+        result["scaling"] = write_scaling_report()
     print(json.dumps(result))
 
 

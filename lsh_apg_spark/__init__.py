@@ -6,12 +6,13 @@ A from-scratch reinterpretation of the LSH-APG reference
   pages ─► signatures (MinHash + SimHash, Arrow-batched pandas UDFs)
         ─► buckets    (LSH banding + APG-style multi-probe, JVM-side xxhash64)
         ─► pairs      (within-bucket candidate pairs, hot-bucket caps)
-        ─► edges      (signature prefilter → exact Jaccard verify)
+        ─► edges      (exact Jaccard verify — pure JVM array_intersect)
         ─► clusters   (iterative hash-partitioned connected components)
 
 Everything is DataFrame/SQL-first: Catalyst plans the shuffles, pandas
-UDFs carry only the kernels Spark genuinely lacks (MinHash, exact
-Jaccard, winnowing fingerprints).
+UDFs carry only the kernels Spark genuinely lacks (MinHash/shingle
+hashing, winnowing fingerprints); the per-pair verify path has no
+Python at all.
 """
 
 from lsh_apg_spark.config import DedupConfig

@@ -28,7 +28,7 @@ class DedupConfig:
     num_probes: int = 2            # extra leave-one-row-out probe keys per band
     # --- verification (maps exact re-rank, basis.h:186-202)
     tau: float = 0.8               # exact word-shingle Jaccard threshold
-    prefilter_margin: float = 0.25 # signature-agreement prefilter = tau - margin
+    prefilter_margin: float = 0.25 # signature_estimate margin (estimate-only passes)
     # --- SimHash (secondary fingerprint)
     simhash_bits: int = 64
     hamming_max: int = 3

@@ -22,11 +22,17 @@ from lsh_apg_spark.functions import kernels
 _SIGNATURE_SCHEMA = StructType([
     StructField("minhash", ArrayType(LongType(), False), False),
     StructField("simhash", LongType(), False),
+    StructField("shingles", ArrayType(LongType(), False), False),
 ])
 
 
 def make_signature_udf(cfg: DedupConfig):
-    """(text) -> struct<minhash: array<bigint>, simhash: bigint>.
+    """(text) -> struct<minhash: array<bigint>, simhash: bigint,
+    shingles: array<bigint>>.
+
+    ``shingles`` is the sorted distinct shingle-hash set itself — stored
+    so exact-Jaccard verification is a pure JVM array_intersect over the
+    pair join (no Python in the verify path; SURVEY.md §2.2 P8/P10).
 
     Iterator form so the (a, b) MinHash params are materialized once per
     executor task, not per batch — the Spark analogue of broadcasting
@@ -42,12 +48,15 @@ def make_signature_udf(cfg: DedupConfig):
         for texts in it:
             cache: dict[str, np.uint64] = {}
             minhashes = []
+            shingle_sets = []
             simhashes = np.empty(len(texts), dtype=np.int64)
             for i, text in enumerate(texts):
                 sh = kernels.shingle_hashes(text or "", k, cache)
                 minhashes.append(kernels.minhash_signature(sh, a, b))
                 simhashes[i] = kernels.simhash64(sh)
-            yield pd.DataFrame({"minhash": minhashes, "simhash": simhashes})
+                shingle_sets.append(sh.view(np.int64))
+            yield pd.DataFrame({"minhash": minhashes, "simhash": simhashes,
+                                "shingles": shingle_sets})
 
     return signature_udf
 

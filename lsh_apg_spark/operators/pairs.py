@@ -10,10 +10,11 @@ All pair generation is JVM-side self-joins — no Python. Skew policy
 * larger buckets are SALTED into subgroups of expected size
   bucket_cap via a deterministic hash of the doc id; all-pairs run
   within each subgroup, and subgroups are re-connected through their
-  min-id representatives (a chain over ceil(n/cap) reps), so a capped
+  min-id representatives (a star onto the bucket-min rep), so a capped
   bucket still resolves into one component transitively via CC —
   candidate volume drops from O(n^2) to O(n*cap) without silently
-  losing connectivity.
+  losing connectivity, and the star keeps the bucket graph at
+  diameter 2 so CC rounds stay O(log n) overall.
 
 Nothing here depends on row order or partitioning: the emitted pair
 SET is deterministic (unlike the reference's clock-seeded insertion
@@ -62,18 +63,21 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
     big_pairs = _all_pairs_within(big, salted_keys, id_col)
 
     # re-connect subgroups through their min-id representatives so the
-    # salted bucket still forms one candidate component
+    # salted bucket still forms one candidate component: a STAR onto the
+    # bucket-min rep (not a chain) keeps the bucket's candidate graph at
+    # diameter 2, so CC converges in O(1) extra rounds however hot the
+    # bucket was
     reps = big.groupBy(*salted_keys).agg(F.min(id_col).alias("rep"))
-    w = Window.partitionBy(*BUCKET_KEY).orderBy("salt")
-    rep_chain = (
-        reps.withColumn("prev", F.lag("rep").over(w))
-        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("rep")))
-        .select(F.least("prev", "rep").alias("a"), F.greatest("prev", "rep").alias("b"))
+    w = Window.partitionBy(*BUCKET_KEY)
+    rep_star = (
+        reps.withColumn("root", F.min("rep").over(w))
+        .filter(F.col("rep") != F.col("root"))
+        .select(F.col("root").alias("a"), F.col("rep").alias("b"))
     )
 
     pa, pb = canonical_pair("a", "b")
     return (
-        small_pairs.unionByName(big_pairs).unionByName(rep_chain)
+        small_pairs.unionByName(big_pairs).unionByName(rep_star)
         .select(pa.alias("a"), pb.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])

@@ -20,7 +20,12 @@ def compute_signatures(
     id_col: str = "url",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, text, ...) -> (id, minhash ARRAY<BIGINT>, simhash BIGINT).
+    """(id, text, ...) -> (id, minhash ARRAY<BIGINT>, simhash BIGINT,
+    shingles ARRAY<BIGINT>).
+
+    ``shingles`` (the distinct shingle-hash set) rides along so the
+    verify stage is a JVM-only array_intersect — the text column never
+    needs to be joined again downstream.
 
     Column-pruned: only (id, text) are read from the scan; Catalyst
     pushes the projection into the parquet/Iceberg reader."""
@@ -32,5 +37,6 @@ def compute_signatures(
             F.col(id_col),
             F.col("_sig.minhash").alias("minhash"),
             F.col("_sig.simhash").alias("simhash"),
+            F.col("_sig.shingles").alias("shingles"),
         )
     )

@@ -1,12 +1,16 @@
-"""Stage 4 — cheap-filter-then-exact-verify (maps F2/F3 lower-bound
-pruning, src/divGraph.h:544,1118, and the exact re-rank P8/P10,
-src/basis.h:186-202 + src/distances_simd_avx512.cpp:416-420).
+"""Stage 4 — exact verification of candidate pairs (maps the exact
+re-rank P8/P10, reference src/basis.h:186-202 +
+src/distances_simd_avx512.cpp:416-420, and the lower-bound pruning
+F2/F3, src/divGraph.h:544,1118).
 
-Predicate ordering is explicit because Catalyst will not reorder
-filters across a Python UDF boundary: the JVM-side MinHash
-signature-agreement estimate (zip_with/aggregate) and SimHash Hamming
-run FIRST and discard most candidates; only survivors pay the text
-join + exact-Jaccard pandas UDF."""
+Entirely JVM-side: the signature stage already materialized each
+document's distinct shingle-hash set (ARRAY<BIGINT>), so exact Jaccard
+is `array_intersect`/`size` inside whole-stage codegen and SimHash
+Hamming is `bit_count(xor)` — no Python anywhere in the verify path.
+The pair rows join the (slim) signatures table twice; the cheap columns
+(sizes, simhash) and the exact intersection are evaluated after the
+join with no UDF boundary, so Catalyst is free to reorder and pipeline
+the whole stage."""
 
 from __future__ import annotations
 
@@ -15,47 +19,60 @@ from pyspark.sql import functions as F
 
 from lsh_apg_spark.config import DedupConfig
 from lsh_apg_spark.functions.hashing import signature_agreement, simhash_hamming
-from lsh_apg_spark.functions.minhash import make_jaccard_udf
 
 
-def prefilter_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig,
-                    id_col: str = "url") -> DataFrame:
-    """(a, b) -> (a, b, sig_est, hamming) for pairs passing the cheap
-    signature filter. Two shuffle joins against the (slim) signatures
-    table; the estimate itself is whole-stage-codegen JVM work."""
+def verify_edges(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig,
+                 id_col: str = "url") -> DataFrame:
+    """(a, b) + signatures(id, simhash, shingles) -> verified edges
+    (a, b, jaccard, hamming) with exact shingle-set Jaccard >= tau.
+
+    The exact Jaccard (never the MinHash estimate) decides every edge,
+    mirroring the reference's exact re-rank of every surviving
+    candidate (src/e2lsh.cpp:170)."""
     sig_a = signatures.select(
         F.col(id_col).alias("a"),
-        F.col("minhash").alias("_mh_a"),
-        F.col("simhash").alias("_sh_a"),
+        F.col("shingles").alias("_sa"),
+        F.col("simhash").alias("_ha"),
     )
     sig_b = signatures.select(
         F.col(id_col).alias("b"),
-        F.col("minhash").alias("_mh_b"),
-        F.col("simhash").alias("_sh_b"),
+        F.col("shingles").alias("_sb"),
+        F.col("simhash").alias("_hb"),
     )
-    threshold = max(0.0, cfg.tau - cfg.prefilter_margin)
+    inter = F.size(F.array_intersect("_sa", "_sb"))
     return (
         pairs.join(sig_a, "a").join(sig_b, "b")
-        .withColumn("sig_est", signature_agreement("_mh_a", "_mh_b"))
-        .withColumn("hamming", simhash_hamming("_sh_a", "_sh_b"))
-        .filter((F.col("sig_est") >= threshold)
-                | (F.col("hamming") <= cfg.hamming_max))
-        .select("a", "b", "sig_est", "hamming")
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")))
+        .filter(F.col("jaccard") >= cfg.tau)
+        .withColumn("hamming", simhash_hamming("_ha", "_hb"))
+        .select("a", "b", "jaccard", "hamming")
     )
 
 
-def verify_edges(filtered: DataFrame, docs: DataFrame, cfg: DedupConfig,
-                 id_col: str = "url", text_col: str = "text") -> DataFrame:
-    """(a, b, ...) -> verified edges (a, b, jaccard, hamming) with
-    exact word-shingle Jaccard >= tau (the reference computes exact
-    distance on every surviving candidate, src/e2lsh.cpp:170 — so do
-    we; the MinHash estimate never decides an edge)."""
-    texts_a = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))
-    texts_b = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
-    jaccard = make_jaccard_udf(cfg)
+def signature_estimate(pairs: DataFrame, signatures: DataFrame,
+                       cfg: DedupConfig, id_col: str = "url") -> DataFrame:
+    """(a, b) -> (a, b, sig_est, hamming): the CHEAP MinHash-agreement
+    estimate + SimHash Hamming, without exact verification. Kept as a
+    standalone operator for pipelines that want an estimate-only pass
+    (e.g. pre-ranking at interactive latency); the dedup pipeline
+    itself goes straight to exact verification since both are JVM-side
+    and the exact check reads the same joined rows."""
+    sig_a = signatures.select(
+        F.col(id_col).alias("a"),
+        F.col("minhash").alias("_ma"),
+        F.col("simhash").alias("_ha"),
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("b"),
+        F.col("minhash").alias("_mb"),
+        F.col("simhash").alias("_hb"),
+    )
     return (
-        filtered.join(texts_a, "a").join(texts_b, "b")
-        .withColumn("jaccard", jaccard(F.col("_ta"), F.col("_tb")))
-        .filter(F.col("jaccard") >= cfg.tau)
-        .select("a", "b", "jaccard", "hamming")
+        pairs.join(sig_a, "a").join(sig_b, "b")
+        .withColumn("sig_est", signature_agreement("_ma", "_mb"))
+        .withColumn("hamming", simhash_hamming("_ha", "_hb"))
+        .select("a", "b", "sig_est", "hamming")
     )

@@ -23,7 +23,7 @@ from lsh_apg_spark.operators.components import connected_components
 from lsh_apg_spark.operators.pairs import bucket_stats, candidate_pairs
 from lsh_apg_spark.operators.signatures import compute_signatures
 from lsh_apg_spark.operators.substring import substring_edges
-from lsh_apg_spark.operators.verify import prefilter_pairs, verify_edges
+from lsh_apg_spark.operators.verify import verify_edges
 from lsh_apg_spark.sources.checkpoints import CheckpointStore
 from lsh_apg_spark.sources.metrics import MetricsSink
 
@@ -102,8 +102,7 @@ def run_dedup(
         signatures, cfg, id_col=id_col))
     pairs = stage("pairs", lambda: candidate_pairs(buckets, cfg, id_col=id_col))
     edges = stage("edges", lambda: verify_edges(
-        prefilter_pairs(pairs, signatures, cfg, id_col=id_col),
-        docs, cfg, id_col=id_col, text_col=text_col))
+        pairs, signatures, cfg, id_col=id_col))
 
     sub = None
     if include_substring:

@@ -39,4 +39,25 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return simple_plan(df).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen stages in the physical
+    plan. Spark marks codegen'd operators `*(n) Op` in simple mode and
+    `[codegen id : n]` in formatted mode; count distinct stage ids."""
+    import re
+
+    ids = set(re.findall(r"\*\((\d+)\)", simple_plan(df)))
+    if not ids:
+        # AQE wraps the plan in AdaptiveSparkPlan and hides codegen ids
+        # until execution; re-plan with AQE off just for the inspection
+        spark = df.sparkSession
+        key = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "false")
+            # select("*") forces a fresh QueryExecution planned under
+            # the toggled conf (the original one is already memoized)
+            plan = df.select("*")._jdf.queryExecution() \
+                .executedPlan().toString()
+        finally:
+            spark.conf.set(key, prev)
+        ids = set(re.findall(r"\*\((\d+)\)", plan))
+    return len(ids)

@@ -26,7 +26,7 @@ from lsh_apg_spark.operators.banding import explode_buckets
 from lsh_apg_spark.operators.components import connected_components
 from lsh_apg_spark.operators.pairs import candidate_pairs
 from lsh_apg_spark.operators.signatures import compute_signatures
-from lsh_apg_spark.operators.verify import prefilter_pairs, verify_edges
+from lsh_apg_spark.operators.verify import verify_edges
 from lsh_apg_spark.sources.checkpoints import CheckpointStore
 
 
@@ -73,9 +73,7 @@ def dedup_increment(
         both = new_buckets
         touching_new = candidate_pairs(new_buckets, cfg, id_col)
 
-    new_edges = verify_edges(
-        prefilter_pairs(touching_new, all_sigs, cfg, id_col),
-        all_docs, cfg, id_col, text_col)
+    new_edges = verify_edges(touching_new, all_sigs, cfg, id_col)
     edges = (old_edges.unionByName(new_edges).dropDuplicates(["a", "b"])
              if have_state else new_edges)
 

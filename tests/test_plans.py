@@ -43,27 +43,24 @@ def test_broadcast_small_dimension(spark):
     assert explain.has_broadcast_join(j)
 
 
-def test_verify_prefilter_orders_before_udf(spark):
-    """The cheap signature-agreement filter must run before the
-    exact-Jaccard Python UDF: the physical plan's Filter on sig_est
-    sits below (executes before) the BatchEvalPython/ArrowEvalPython
-    node. Catalyst cannot reorder across the UDF boundary, so this is
-    OUR ordering and must not regress."""
+def test_verify_stage_is_jvm_only(spark):
+    """Exact verification must be pure JVM (array_intersect + bit_count
+    in whole-stage codegen): the ONLY Python in the whole edge plan is
+    the signature UDF itself. A Python UDF creeping back into the
+    per-pair path is the single worst 100x-scale regression."""
     from lsh_apg_spark.operators.banding import explode_buckets
     from lsh_apg_spark.operators.pairs import candidate_pairs
-    from lsh_apg_spark.operators.verify import prefilter_pairs, verify_edges
+    from lsh_apg_spark.operators.verify import verify_edges
 
     docs = spark.createDataFrame(
         [("u1", "a b c d e f"), ("u2", "a b c d e g")], "url string, text string")
-    sigs = compute_signatures(docs, CFG)
+    sigs = compute_signatures(docs, CFG).localCheckpoint(eager=True)
     pairs = candidate_pairs(explode_buckets(sigs, CFG), CFG)
-    edges = verify_edges(prefilter_pairs(pairs, sigs, CFG), docs, CFG)
+    edges = verify_edges(pairs, sigs, CFG)
     plan = explain.simple_plan(edges)
-    udf_pos = max(plan.find("ArrowEvalPython"), plan.find("BatchEvalPython"))
-    est_pos = plan.find("sig_est")
-    assert udf_pos != -1 and est_pos != -1
-    # deeper in the tree = printed later = executes earlier
-    assert est_pos > udf_pos, "sig_est filter not below the verify UDF"
+    assert "EvalPython" not in plan, "Python UDF in the per-pair verify path"
+    assert "array_intersect" in plan
+    assert "bit_count" in plan
 
 
 def test_codegen_covers_relational_stages(spark, docs):
