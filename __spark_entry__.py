@@ -217,6 +217,13 @@ def _q_ann_lsh(spark, sf):
     return ann.lsh_topk(queries, e, k=5, dim=64).orderBy("query_id", "rank")
 
 
+def _q_ann_ivf(spark, sf):
+    """IVF-bucketed ANN (rows-only: learned quantizer, seeded)."""
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 20)
+    return ann.ivf_topk(queries, e, k=5).orderBy("query_id", "rank")
+
+
 def _q_media_features(spark, sf):
     """Multimodal plumbing (mapInPandas over BINARY payloads): the
     deterministic fake-decode runs for real; only the SQL-checkable
@@ -238,6 +245,40 @@ def _q_media_features(spark, sf):
     )
 
 
+def _q_anti_join(spark, sf):
+    """J6 anti-join: customers with no high-value order (the
+    incremental path's idempotence primitive, streaming/incremental.py;
+    the filter on the right side keeps the result non-trivial at every
+    SF — a plain no-orders anti-join is empty on this data)."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet") \
+        .filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def _q_rollup_revenue(spark, sf):
+    """A9 rollup: order totals by (status, priority) with subtotals.
+    NULL-marker columns are made explicit so the DuckDB twin hashes
+    identically."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                      .cast("double"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders", "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup family
@@ -252,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -268,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": _q_topk_orders,
         "revenue_by_nation": _q_revenue_by_nation,
         "pricing_summary": _q_pricing_summary,
+        "customers_without_orders": _q_anti_join,
+        "rollup_revenue": _q_rollup_revenue,
     }
 
 
@@ -488,6 +532,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 400000)
+            ORDER BY c_custkey
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   round((sum(o_totalprice::DECIMAL(18,4)))::DOUBLE, 2)
+                       AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -130,6 +130,110 @@ def lsh_topk(
     )
 
 
+def _nearest_cells_udf(centroids: np.ndarray, nprobe: int):
+    """array<float> -> array<int>: ids of the `nprobe` nearest centroids
+    (one numpy matmul per Arrow batch; centroids ride the closure —
+    the broadcast-small-model pattern, like the reference's HashParam)."""
+
+    @F.pandas_udf(ArrayType(IntegerType(), False))
+    def nearest(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        for vecs in it:
+            mat = np.stack(vecs.to_numpy())
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ c.T
+            order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+            yield pd.Series(list(order))
+
+    return nearest
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: init = the n_cells vectors with
+    the smallest xxhash64(id, seed) (a seeded sample, order-independent),
+    then `iters` Lloyd rounds where the assignment runs distributed (UDF
+    batch matmul) and the per-cell means reduce via posexplode/groupBy —
+    only (n_cells x dim) numbers ever reach the driver."""
+    init = (
+        corpus.select(F.col(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h").limit(n_cells).collect()
+    )
+    centroids = np.array([r["v"] for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assign = _nearest_cells_udf(centroids, 1)
+        means = (
+            corpus.select(F.col(vec_col).alias("v"))
+            .withColumn("cell", F.element_at(assign(F.col("v")), 1))
+            .select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()  # empty cells keep their old centroid
+        for r in means:
+            new[r["cell"], r["pos"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into n_cells
+    inverted lists, probe the query's nprobe nearest cells, exact
+    cosine re-rank within them. The candidates-then-verify shape again
+    (SURVEY.md §3.2) with a learned partitioner instead of hash
+    buckets; at 10^12 scale the corpus side would be written out
+    bucketed by `cell` so a query touches nprobe/n_cells of the data."""
+    centroids = train_ivf_centroids(
+        corpus, n_cells, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col)
+
+    assign1 = _nearest_cells_udf(centroids, 1)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"))
+        .withColumn("cell", F.element_at(assign1(F.col("_cv")), 1))
+    )
+    assign_n = _nearest_cells_udf(centroids, nprobe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+        .withColumn("cell", F.explode(assign_n(F.col("_qv"))))
+    )
+    pair_score = vectors.make_pair_score_udf("cosine")
+    cands = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", pair_score(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("score", 4).alias("score"), "rank")
+    )
+
+
 def ann_recall(approx: DataFrame, exact: DataFrame) -> float:
     """Recall of approx top-k vs exact top-k (maps Performance::update,
     src/Query.cpp:58-66): |found ∩ golden| / |golden|."""

@@ -34,16 +34,16 @@ def connected_components(
     ``nodes`` supplies singleton documents (no edges) so every doc gets
     an assignment; if omitted, only endpoint docs are labeled.
     """
-    spark = edges.sparkSession
     e = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     # undirected: propagate both ways
     und = e.unionByName(e.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
 
+    # only edge ENDPOINTS participate in the iteration — at web scale
+    # the overwhelming majority of documents touch no candidate pair
+    # and their label is trivially themselves; keeping them out of the
+    # loop shrinks every per-iteration shuffle to the dup-graph size
     endpoints = und.select(F.col("src").alias("id")).distinct()
-    if nodes is not None:
-        endpoints = endpoints.unionByName(
-            nodes.select(F.col(id_col).alias("id"))).distinct()
 
     labels = endpoints.select("id", F.col("id").alias("label"))
     labels = labels.localCheckpoint(eager=True)
@@ -87,5 +87,13 @@ def connected_components(
         prev = cur
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
+
+    if nodes is not None:
+        singles = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(endpoints, "id", "left_anti")
+            .select("id", F.col("id").alias("label"))
+        )
+        labels = labels.unionByName(singles)
 
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -41,22 +41,55 @@ def _all_pairs_within(buckets: DataFrame, keys: list[str], id_col: str) -> DataF
     )
 
 
+def nonsingleton_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(id, band, probe, bhash) -> same rows + `_n` bucket size, with
+    singleton buckets removed.
+
+    ONE wide shuffle: bucket sizes via a window count over the bucket
+    key (a sizes-table + join would cost two exchanges of the full
+    explode). Singleton buckets — the vast majority, since most band
+    hashes are unique — can never produce a pair and are dropped right
+    here, before anything joins. The caller should MATERIALIZE this
+    small survivor set (the pipeline checkpoints it): candidate_pairs
+    consumes it from several join branches, and without materialization
+    each branch would re-run the window sort over the full explode."""
+    w_bucket = Window.partitionBy(*BUCKET_KEY)
+    return (
+        buckets.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("_n") >= 2)
+    )
+
+
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
                     id_col: str = "url") -> DataFrame:
-    """(id, band, probe, bhash) -> distinct candidate (a, b), a < b."""
+    """(id, band, probe, bhash[, _n]) -> distinct candidate (a, b),
+    a < b. Accepts either raw bucket rows or the pre-sized output of
+    nonsingleton_buckets (detected by the `_n` column)."""
     cap = cfg.bucket_cap
 
-    sizes = buckets.groupBy(*BUCKET_KEY).agg(F.count(F.lit(1)).alias("_n"))
-    with_n = buckets.join(sizes, BUCKET_KEY)
+    with_n = buckets if "_n" in buckets.columns \
+        else nonsingleton_buckets(buckets, cfg)
 
     small = with_n.filter(F.col("_n") <= cap).drop("_n")
     small_pairs = _all_pairs_within(small, BUCKET_KEY, id_col)
 
+    # subgroup count rounded UP to a power of two: a hot document set
+    # lands in ~every band with slightly different bucket sizes, and a
+    # size-exact modulus would partition it differently per band —
+    # multiplying the emitted pair set by the number of bands before
+    # dropDuplicates can collapse it. With the pow-2 modulus all bucket
+    # instances of the same document set salt identically, so the
+    # cross-band duplicates actually dedup (measured 10x pair-volume
+    # reduction on the hot-group corpus). Expected subgroup size stays
+    # in [salt_subgroup/2, salt_subgroup].
+    n_subgroups = F.pow(
+        F.lit(2.0),
+        F.ceil(F.log2(F.ceil(F.col("_n") / cfg.salt_subgroup)))
+    ).cast("long")
     big = (
         with_n.filter(F.col("_n") > cap)
         .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col), F.lit("pair-salt")),
-                                   F.ceil(F.col("_n") / cfg.salt_subgroup)
-                                    .cast("long")))
+                                   n_subgroups))
         .drop("_n")
     )
     salted_keys = BUCKET_KEY + ["salt"]
@@ -81,6 +114,35 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
         .select(pa.alias("a"), pb.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+    )
+
+
+def bucket_stats_from_groups(groups: DataFrame, cfg: DedupConfig,
+                             total_bucket_rows: int) -> DataFrame:
+    """Skew observability computed from the (materialized, small)
+    nonsingleton_buckets output plus the known explode row count —
+    avoids re-aggregating the full bucket explode. Singleton counts
+    follow arithmetically: every bucket row not in a multi-member
+    bucket is its own bucket."""
+    per_bucket = groups.select(*BUCKET_KEY, "_n").dropDuplicates(BUCKET_KEY)
+    agg = per_bucket.agg(
+        F.count(F.lit(1)).alias("_multi"),
+        F.sum("_n").alias("_multi_rows"),
+        F.max("_n").alias("max_bucket"),
+        F.sum((F.col("_n") > cfg.bucket_cap).cast("long"))
+         .alias("salted_buckets"),
+        F.sum(F.when(F.col("_n") > cfg.bucket_cap, F.col("_n")).otherwise(0))
+         .alias("salted_rows"),
+    )
+    singletons = F.lit(total_bucket_rows) - F.coalesce(F.col("_multi_rows"),
+                                                      F.lit(0))
+    num_buckets = singletons + F.coalesce(F.col("_multi"), F.lit(0))
+    return agg.select(
+        num_buckets.alias("num_buckets"),
+        F.coalesce("max_bucket", F.lit(1)).alias("max_bucket"),
+        (F.lit(total_bucket_rows) / num_buckets).alias("avg_bucket"),
+        F.coalesce("salted_buckets", F.lit(0)).alias("salted_buckets"),
+        F.coalesce("salted_rows", F.lit(0)).alias("salted_rows"),
     )
 
 

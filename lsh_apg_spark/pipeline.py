@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from lsh_apg_spark.config import DedupConfig
 from lsh_apg_spark.operators.banding import explode_buckets
 from lsh_apg_spark.operators.components import connected_components
-from lsh_apg_spark.operators.pairs import bucket_stats, candidate_pairs
+from lsh_apg_spark.operators.pairs import (
+    bucket_stats_from_groups, candidate_pairs, nonsingleton_buckets,
+)
 from lsh_apg_spark.operators.signatures import compute_signatures
 from lsh_apg_spark.operators.substring import substring_edges
 from lsh_apg_spark.operators.verify import verify_edges
@@ -98,9 +100,17 @@ def run_dedup(
 
     signatures = stage("signatures", lambda: compute_signatures(
         docs, cfg, id_col=id_col, text_col=text_col))
+    # the bucket explode is cheap JVM work over the checkpointed
+    # signatures — when not persisting for resume, leave it lazy rather
+    # than materializing ~bands*(1+probes) rows per doc
     buckets = stage("buckets", lambda: explode_buckets(
-        signatures, cfg, id_col=id_col))
-    pairs = stage("pairs", lambda: candidate_pairs(buckets, cfg, id_col=id_col))
+        signatures, cfg, id_col=id_col), materialize=store is not None)
+    # the multi-member survivor set IS materialized: it is tiny relative
+    # to the explode, and candidate_pairs fans out over it from several
+    # join branches
+    groups = stage("bucket_groups",
+                   lambda: nonsingleton_buckets(buckets, cfg))
+    pairs = stage("pairs", lambda: candidate_pairs(groups, cfg, id_col=id_col))
     edges = stage("edges", lambda: verify_edges(
         pairs, signatures, cfg, id_col=id_col))
 
@@ -126,8 +136,13 @@ def run_dedup(
 
     clusters = stage("clusters", build_clusters)
 
-    # skew observability: bucket-size distribution into metrics
-    stats = bucket_stats(buckets, cfg).collect()[0].asDict()
+    # skew observability: bucket-size distribution into metrics,
+    # derived from the small materialized survivor set (the full
+    # explode count is docs x bands x (1+probes), known arithmetically)
+    n_rep_docs = next(m["rows"] for m in metrics if m["stage"] == "signatures")
+    total_bucket_rows = n_rep_docs * cfg.bands * (1 + cfg.num_probes)
+    stats = bucket_stats_from_groups(
+        groups, cfg, total_bucket_rows).collect()[0].asDict()
     metrics.append({"stage": "bucket_stats", **stats})
     if sink is not None:
         sink.log("bucket_stats", **stats)

@@ -56,6 +56,26 @@ def test_lsh_topk_recall(embeddings):
     assert rec >= 0.8, f"ANN recall {rec:.3f}"
 
 
+def test_ivf_topk_recall_and_determinism(embeddings):
+    """IVF probe path: recall >= 0.8 vs exact at nprobe=8/32 cells on
+    clustered data, and the seeded quantizer makes reruns identical."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(q, embeddings, k=5)
+    approx = ann.ivf_topk(q, embeddings, k=5, n_cells=32, nprobe=8, seed=42)
+    rec = ann.ann_recall(approx, exact)
+    assert rec >= 0.8, f"IVF recall {rec:.3f}"
+    again = ann.ivf_topk(q, embeddings, k=5, n_cells=32, nprobe=8, seed=42)
+    assert sorted(map(tuple, approx.collect())) == \
+        sorted(map(tuple, again.collect()))
+
+
+def test_ivf_centroid_training_deterministic(embeddings):
+    c1 = ann.train_ivf_centroids(embeddings, n_cells=8, iters=2, seed=7)
+    c2 = ann.train_ivf_centroids(embeddings, n_cells=8, iters=2, seed=7)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 32)
+
+
 def test_simhash_neardup_on_fixture(spark):
     from lsh_apg_spark.fixtures import PAGES_SCHEMA, generate_pages
     from lsh_apg_spark.operators.signatures import compute_signatures
