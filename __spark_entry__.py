@@ -224,6 +224,14 @@ def _q_ann_ivf(spark, sf):
     return ann.ivf_topk(queries, e, k=5).orderBy("query_id", "rank")
 
 
+def _q_ann_diverse(spark, sf):
+    """RNG-diversified top-k (rows-only: greedy selection is not
+    SQL-expressible; semantics gated by tests/test_operators.py)."""
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 20)
+    return ann.diversified_topk(queries, e, k=5).orderBy("query_id", "rank")
+
+
 def _q_media_features(spark, sf):
     """Multimodal plumbing (mapInPandas over BINARY payloads): the
     deterministic fake-decode runs for real; only the SQL-checkable
@@ -294,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "ann_topk_diverse": _q_ann_diverse,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,

@@ -234,6 +234,58 @@ def ivf_topk(
     )
 
 
+def diversified_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    pool_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RNG-style diversified top-k (maps A4 chooseNN_div,
+    src/divGraph.h:576-628): take a pool of k*pool_factor exact nearest
+    candidates, then greedily keep a candidate only if no already-kept
+    neighbor is closer to it than the query is — spreading results
+    across clusters instead of returning one dense cluster.
+
+    The greedy scan has no Catalyst equivalent (each decision depends
+    on the prior kept set), so it runs as applyInPandas per query
+    group over the (small) candidate pool — the grouped-map UDTF slot
+    of SURVEY.md §2.11."""
+    pool = bruteforce_topk(queries, corpus, k=k * pool_factor,
+                           id_col=id_col, vec_col=vec_col)
+    nvec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("_nv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("_qv"))
+    joined = pool.join(nvec, "neighbor_id").join(qvec, "query_id")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rank")
+        vecs = np.stack(pdf["_nv"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if len(kept) >= k:
+                break
+            # cand-to-query distance via the already-computed cosine
+            cand_qdist = 1.0 - float(pdf["score"].iloc[i])
+            diverse = True
+            for j in kept:
+                cand_kdist = 1.0 - float(vecs[i] @ vecs[j])
+                if cand_kdist < cand_qdist:  # a kept result is closer
+                    diverse = False
+                    break
+            if diverse:
+                kept.append(i)
+        out = pdf.iloc[kept][["query_id", "neighbor_id", "score"]].copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return joined.groupBy("query_id").applyInPandas(
+        pick, schema="query_id long, neighbor_id long, score double, rank long")
+
+
 def ann_recall(approx: DataFrame, exact: DataFrame) -> float:
     """Recall of approx top-k vs exact top-k (maps Performance::update,
     src/Query.cpp:58-66): |found ∩ golden| / |golden|."""

@@ -2,19 +2,27 @@
 (maps J1 hash-bucket equi-probe, src/e2lsh.cpp:131-200, and the
 candidate cap lshUB, src/divGraph.h:369-370,934-937).
 
-All pair generation is JVM-side self-joins — no Python. Skew policy
-(the north_rule's explicit hot-bucket handling):
+Shape chosen for 10^12-row scale: the bucket "hash table" is built with
+ONE hash-aggregated shuffle (`collect_list` per bucket key — no sort
+anywhere; the explode input never needs a window or a sizes join), and
+pair expansion is ROW-LOCAL (a double `explode` of each bucket's member
+array — no self-join). Skew policy (the north_rule's explicit
+hot-bucket handling):
 
-* buckets with <= bucket_cap members: all-pairs within the bucket
-  (bounded at cap^2 rows per bucket, AQE-splittable join);
+* buckets with <= bucket_cap members: all-pairs within the row
+  (bounded at cap^2 output rows per bucket);
 * larger buckets are SALTED into subgroups of expected size
-  bucket_cap via a deterministic hash of the doc id; all-pairs run
-  within each subgroup, and subgroups are re-connected through their
-  min-id representatives (a star onto the bucket-min rep), so a capped
-  bucket still resolves into one component transitively via CC —
-  candidate volume drops from O(n^2) to O(n*cap) without silently
-  losing connectivity, and the star keeps the bucket graph at
-  diameter 2 so CC rounds stay O(log n) overall.
+  salt_subgroup via a deterministic hash of the doc id; all-pairs run
+  within each subgroup, and subgroups re-connect through a STAR onto
+  the bucket-min representative, so a capped bucket still resolves
+  into one component transitively via CC — candidate volume drops from
+  O(n^2) to O(n*cap) without silently losing connectivity, and the
+  star keeps the bucket graph at diameter 2 so CC rounds stay O(log n).
+  The salt modulus rounds the subgroup count up to a power of two: a
+  hot document set lands in ~every band with slightly different bucket
+  sizes, and a size-exact modulus would partition it differently per
+  band — multiplying the emitted pair set by the band count before
+  dropDuplicates could collapse it.
 
 Nothing here depends on row order or partitioning: the emitted pair
 SET is deterministic (unlike the reference's clock-seeded insertion
@@ -31,28 +39,13 @@ from lsh_apg_spark.functions.hashing import canonical_pair
 BUCKET_KEY = ["band", "probe", "bhash"]
 
 
-def _all_pairs_within(buckets: DataFrame, keys: list[str], id_col: str) -> DataFrame:
-    a = buckets.select(*keys, F.col(id_col).alias("_ida"))
-    b = buckets.select(*keys, F.col(id_col).alias("_idb"))
-    return (
-        a.join(b, keys)
-        .filter(F.col("_ida") < F.col("_idb"))
-        .select(F.col("_ida").alias("a"), F.col("_idb").alias("b"))
-    )
-
-
 def nonsingleton_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(id, band, probe, bhash) -> same rows + `_n` bucket size, with
-    singleton buckets removed.
-
-    ONE wide shuffle: bucket sizes via a window count over the bucket
-    key (a sizes-table + join would cost two exchanges of the full
-    explode). Singleton buckets — the vast majority, since most band
-    hashes are unique — can never produce a pair and are dropped right
-    here, before anything joins. The caller should MATERIALIZE this
-    small survivor set (the pipeline checkpoints it): candidate_pairs
-    consumes it from several join branches, and without materialization
-    each branch would re-run the window sort over the full explode."""
+    singleton buckets removed. One wide shuffle (the window's sort) —
+    counting with collect_list-style object aggregation over millions
+    of mostly-singleton groups measures 2-3x slower than this sorted
+    count (object churn dominates), so the wide pass counts LONGS and
+    only the survivors ever become arrays."""
     w_bucket = Window.partitionBy(*BUCKET_KEY)
     return (
         buckets.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
@@ -60,52 +53,77 @@ def nonsingleton_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
+def bucket_arrays(buckets: DataFrame, cfg: DedupConfig,
+                  id_col: str = "url") -> DataFrame:
+    """(id, band, probe, bhash) -> (band, probe, bhash, ids, _n) with
+    singleton buckets removed.
+
+    Two-phase on purpose: the window count runs over the full explode
+    (compact fixed-width rows), then collect_list aggregates ONLY the
+    multi-member survivor rows — and since those are already hash-
+    partitioned by the bucket key from the window exchange, the
+    aggregation is partition-local (no second wide shuffle). The caller
+    should MATERIALIZE this survivor set (the pipeline checkpoints it):
+    it is small, and candidate_pairs + skew stats both read it."""
+    src = buckets if "_n" in buckets.columns \
+        else nonsingleton_buckets(buckets, cfg)
+    return (
+        src.groupBy(*BUCKET_KEY)
+        .agg(F.collect_list(id_col).alias("ids"))
+        .withColumn("_n", F.size("ids"))
+    )
+
+
+def _explode_pairs(arrays: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Row-local all-pairs: two nested explodes of the member array —
+    runs inside whole-stage codegen, no join, no shuffle."""
+    return (
+        arrays.select(F.explode(ids_col).alias("_ida"), ids_col)
+        .select("_ida", F.explode(ids_col).alias("_idb"))
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("a"), F.col("_idb").alias("b"))
+    )
+
+
+def candidate_pairs(arrays: DataFrame, cfg: DedupConfig,
                     id_col: str = "url") -> DataFrame:
-    """(id, band, probe, bhash[, _n]) -> distinct candidate (a, b),
-    a < b. Accepts either raw bucket rows or the pre-sized output of
-    nonsingleton_buckets (detected by the `_n` column)."""
+    """bucket_arrays output (or raw bucket rows, detected by the
+    absence of an `ids` column) -> distinct candidate (a, b), a < b."""
+    if "ids" not in arrays.columns:
+        arrays = bucket_arrays(arrays, cfg, id_col=id_col)
     cap = cfg.bucket_cap
 
-    with_n = buckets if "_n" in buckets.columns \
-        else nonsingleton_buckets(buckets, cfg)
+    small_pairs = _explode_pairs(arrays.filter(F.col("_n") <= cap))
 
-    small = with_n.filter(F.col("_n") <= cap).drop("_n")
-    small_pairs = _all_pairs_within(small, BUCKET_KEY, id_col)
-
-    # subgroup count rounded UP to a power of two: a hot document set
-    # lands in ~every band with slightly different bucket sizes, and a
-    # size-exact modulus would partition it differently per band —
-    # multiplying the emitted pair set by the number of bands before
-    # dropDuplicates can collapse it. With the pow-2 modulus all bucket
-    # instances of the same document set salt identically, so the
-    # cross-band duplicates actually dedup (measured 10x pair-volume
-    # reduction on the hot-group corpus). Expected subgroup size stays
-    # in [salt_subgroup/2, salt_subgroup].
+    # hot buckets: back to rows, deterministic pow-2 salt, re-group per
+    # subgroup (a tiny second shuffle — hot rows are a sliver of the
+    # corpus), row-local pairs within each subgroup
     n_subgroups = F.pow(
         F.lit(2.0),
         F.ceil(F.log2(F.ceil(F.col("_n") / cfg.salt_subgroup)))
     ).cast("long")
-    big = (
-        with_n.filter(F.col("_n") > cap)
+    big_rows = (
+        arrays.filter(F.col("_n") > cap)
+        .select(*BUCKET_KEY, "_n", F.explode("ids").alias(id_col))
         .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col), F.lit("pair-salt")),
                                    n_subgroups))
-        .drop("_n")
     )
-    salted_keys = BUCKET_KEY + ["salt"]
-    big_pairs = _all_pairs_within(big, salted_keys, id_col)
+    subgroups = (
+        big_rows.groupBy(*BUCKET_KEY, "salt")
+        .agg(F.collect_list(id_col).alias("ids"))
+    )
+    big_pairs = _explode_pairs(subgroups)
 
-    # re-connect subgroups through their min-id representatives so the
-    # salted bucket still forms one candidate component: a STAR onto the
-    # bucket-min rep (not a chain) keeps the bucket's candidate graph at
-    # diameter 2, so CC converges in O(1) extra rounds however hot the
-    # bucket was
-    reps = big.groupBy(*salted_keys).agg(F.min(id_col).alias("rep"))
-    w = Window.partitionBy(*BUCKET_KEY)
+    # star re-connection of subgroups through the bucket-min rep
+    reps = subgroups.select(*BUCKET_KEY, "salt",
+                            F.array_min("ids").alias("rep"))
     rep_star = (
-        reps.withColumn("root", F.min("rep").over(w))
-        .filter(F.col("rep") != F.col("root"))
-        .select(F.col("root").alias("a"), F.col("rep").alias("b"))
+        reps.groupBy(*BUCKET_KEY).agg(
+            F.min("rep").alias("root"),
+            F.collect_list("rep").alias("all_reps"))
+        .select(F.col("root").alias("a"),
+                F.explode("all_reps").alias("b"))
+        .filter(F.col("a") != F.col("b"))
     )
 
     pa, pb = canonical_pair("a", "b")
@@ -119,13 +137,13 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
 
 def bucket_stats_from_groups(groups: DataFrame, cfg: DedupConfig,
                              total_bucket_rows: int) -> DataFrame:
-    """Skew observability computed from the (materialized, small)
-    nonsingleton_buckets output plus the known explode row count —
-    avoids re-aggregating the full bucket explode. Singleton counts
-    follow arithmetically: every bucket row not in a multi-member
-    bucket is its own bucket."""
-    per_bucket = groups.select(*BUCKET_KEY, "_n").dropDuplicates(BUCKET_KEY)
-    agg = per_bucket.agg(
+    """Skew observability (maps graph statistics showInfo,
+    src/divGraph.h:1148-1231) from the (materialized, small)
+    bucket_arrays output plus the known explode row count — singleton
+    counts follow arithmetically: every bucket row not in a
+    multi-member bucket is its own bucket. Logged to the metrics sink
+    every run — capped volume is never silently dropped."""
+    agg = groups.agg(
         F.count(F.lit(1)).alias("_multi"),
         F.sum("_n").alias("_multi_rows"),
         F.max("_n").alias("max_bucket"),
@@ -147,10 +165,9 @@ def bucket_stats_from_groups(groups: DataFrame, cfg: DedupConfig,
 
 
 def bucket_stats(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Skew observability (maps graph statistics showInfo,
-    src/divGraph.h:1148-1231): bucket-size distribution + how many
-    buckets were salted. Logged to the metrics sink every run — capped
-    volume is never silently dropped."""
+    """Standalone skew stats over raw bucket rows (full aggregation —
+    prefer bucket_stats_from_groups when bucket_arrays is already
+    materialized)."""
     sizes = buckets.groupBy(*BUCKET_KEY).agg(F.count(F.lit(1)).alias("n"))
     return sizes.agg(
         F.count(F.lit(1)).alias("num_buckets"),

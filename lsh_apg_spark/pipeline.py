@@ -21,7 +21,7 @@ from lsh_apg_spark.config import DedupConfig
 from lsh_apg_spark.operators.banding import explode_buckets
 from lsh_apg_spark.operators.components import connected_components
 from lsh_apg_spark.operators.pairs import (
-    bucket_stats_from_groups, candidate_pairs, nonsingleton_buckets,
+    bucket_arrays, bucket_stats_from_groups, candidate_pairs,
 )
 from lsh_apg_spark.operators.signatures import compute_signatures
 from lsh_apg_spark.operators.substring import substring_edges
@@ -93,48 +93,80 @@ def run_dedup(
         return keyed.join(reps, "_k").select(id_col, "_rep")
 
     rep_map = stage("rep_map", build_rep_map)
-    docs = (
-        rep_map.filter(F.col(id_col) == F.col("_rep")).select(id_col)
-        .join(all_docs, id_col)
+
+    # compact 64-bit ids for everything between here and the final
+    # url mapping: the banding/pair/CC stages are shuffle- and
+    # sort-heavy, and an 8-byte id vs a ~40-60B url string is a ~3x
+    # row-width (= memory-bandwidth = shuffle-volume) reduction — the
+    # Spark analogue of the reference working on int ids (src/def.h).
+    # xxhash64 collisions would merge two documents' candidate sets;
+    # at sandbox scale the probability is negligible and a collision
+    # only ever ADDS candidate pairs, which exact verification then
+    # judges on real content (at 10^12 docs, swap in a 128-bit id).
+    id_map = (
+        rep_map.filter(F.col(id_col) == F.col("_rep"))
+        .select(id_col, F.xxhash64(F.col(id_col), F.lit(17)).alias("_nid"))
     )
+    docs = id_map.join(all_docs, id_col).select(
+        F.col("_nid").alias("nid"), text_col)
 
     signatures = stage("signatures", lambda: compute_signatures(
-        docs, cfg, id_col=id_col, text_col=text_col))
+        docs, cfg, id_col="nid", text_col=text_col))
     # the bucket explode is cheap JVM work over the checkpointed
     # signatures — when not persisting for resume, leave it lazy rather
     # than materializing ~bands*(1+probes) rows per doc
     buckets = stage("buckets", lambda: explode_buckets(
-        signatures, cfg, id_col=id_col), materialize=store is not None)
+        signatures, cfg, id_col="nid"), materialize=store is not None)
     # the multi-member survivor set IS materialized: it is tiny relative
     # to the explode, and candidate_pairs fans out over it from several
     # join branches
     groups = stage("bucket_groups",
-                   lambda: nonsingleton_buckets(buckets, cfg))
-    pairs = stage("pairs", lambda: candidate_pairs(groups, cfg, id_col=id_col))
+                   lambda: bucket_arrays(buckets, cfg, id_col="nid"))
+    pairs = stage("pairs", lambda: candidate_pairs(groups, cfg, id_col="nid"))
     edges = stage("edges", lambda: verify_edges(
-        pairs, signatures, cfg, id_col=id_col))
+        pairs, signatures, cfg, id_col="nid"))
 
     sub = None
     if include_substring:
         sub = stage("substring_edges", lambda: substring_edges(
-            docs, cfg, id_col=id_col, text_col=text_col))
+            docs, cfg, id_col="nid", text_col=text_col))
 
     def build_clusters() -> DataFrame:
         e = edges.select("a", "b")
         if sub is not None:
             e = e.unionByName(sub.select("a", "b"))
-        rep_clusters = connected_components(
-            e, nodes=docs.select(id_col), id_col=id_col)
+        nid_clusters = connected_components(
+            e, nodes=docs.select("nid"), id_col="nid")
+        # nid component labels -> deterministic url labels: cluster_id
+        # = min member url of the component (two small aggs over the
+        # rep set; component labels being arbitrary nids never leak out)
+        members = nid_clusters.withColumnRenamed("cluster_id", "_lab") \
+            .withColumnRenamed("nid", "_nid").join(id_map, "_nid")
+        label_url = members.groupBy("_lab").agg(
+            F.min(id_col).alias("cluster_id"))
+        rep_clusters = members.join(label_url, "_lab") \
+            .select(F.col(id_col).alias("_rep"), "cluster_id")
         # expand representative clusters back to every url; the rep is
-        # its exact-group's min id and the cluster label is the min rep
-        # in the component, so cluster_id == global min member id
-        return (
-            rep_map
-            .join(rep_clusters.withColumnRenamed(id_col, "_rep"), "_rep")
-            .select(id_col, "cluster_id")
-        )
+        # its exact-group's min url, so cluster_id == global min member
+        return rep_map.join(rep_clusters, "_rep").select(id_col, "cluster_id")
 
     clusters = stage("clusters", build_clusters)
+
+    def _edges_with_urls(df: DataFrame | None) -> DataFrame | None:
+        """Map nid edge endpoints back to urls for the exposed result
+        (lazy — only pays its joins if a consumer materializes it)."""
+        if df is None:
+            return None
+        ua = id_map.select(F.col("_nid").alias("a"),
+                           F.col(id_col).alias("_ua"))
+        ub = id_map.select(F.col("_nid").alias("b"),
+                           F.col(id_col).alias("_ub"))
+        others = [c for c in df.columns if c not in ("a", "b")]
+        return (
+            df.join(ua, "a").join(ub, "b")
+            .select(F.least("_ua", "_ub").alias("a"),
+                    F.greatest("_ua", "_ub").alias("b"), *others)
+        )
 
     # skew observability: bucket-size distribution into metrics,
     # derived from the small materialized survivor set (the full
@@ -147,8 +179,11 @@ def run_dedup(
     if sink is not None:
         sink.log("bucket_stats", **stats)
 
-    return DedupResult(signatures=signatures, pairs=pairs, edges=edges,
-                       substring=sub, clusters=clusters, metrics=metrics)
+    return DedupResult(signatures=signatures,
+                       pairs=_edges_with_urls(pairs),
+                       edges=_edges_with_urls(edges),
+                       substring=_edges_with_urls(sub),
+                       clusters=clusters, metrics=metrics)
 
 
 def pages_from_documents(docs: DataFrame) -> DataFrame:

@@ -34,9 +34,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, not bigger: an oversized local-mode heap makes G1 young
+        # collections dominate (measured 1.6x end-to-end slowdown at
+        # 48g vs 16g on the 400k-doc job — cache-hostile giant young
+        # gen). Cluster executors size their own heaps via spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the banding stage hash-aggregates collect_list over millions
+        # of mostly-singleton bucket keys; the default fallback
+        # threshold (128 in-memory groups) would silently turn that
+        # into a sort-based aggregation — the exact sort the hash-agg
+        # design avoids
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "4000000")
     )
     # shuffle/spill scratch on tmpfs when available: local-mode stand-in
     # for cluster NVMe shuffle volumes, and it keeps benchmark numbers

@@ -94,3 +94,4 @@ def test_exact_jaccard_bounds():
 def test_lcs_len():
     assert kernels.longest_common_substring_len("hello world", "say hello world!") == 11
     assert kernels.longest_common_substring_len("abc", "xyz") == 0
+

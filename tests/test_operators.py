@@ -69,6 +69,37 @@ def test_ivf_topk_recall_and_determinism(embeddings):
         sorted(map(tuple, again.collect()))
 
 
+def test_diversified_topk_rng_rule(spark):
+    """Deterministic geometry for the RNG rule (chooseNN_div,
+    src/divGraph.h:576-628): B sits right next to A (closer to A than
+    to the query) -> B is pruned; C points the other way -> kept."""
+    import math
+    rows = [
+        (0, [1.0, 0.0], 0),                                   # query
+        (1, [math.cos(0.3), math.sin(0.3)], 0),               # A: nearest
+        (2, [math.cos(0.35), math.sin(0.35)], 0),             # B: shadowed by A
+        (3, [math.cos(-0.7), math.sin(-0.7)], 0),             # C: other side
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter(F.col("vec_id") == 0)
+    out = ann.diversified_topk(q, df, k=3, pool_factor=1)
+    kept = [r["neighbor_id"] for r in
+            sorted(out.collect(), key=lambda r: r["rank"])]
+    assert kept == [1, 3], kept
+
+
+def test_cap_degree_keeps_weak_nodes_connected(spark):
+    from lsh_apg_spark.operators.components import cap_degree
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.85), ("a", "d", 0.84),
+         ("d", "e", 0.8)],
+        "a string, b string, jaccard double")
+    out = {(r["a"], r["b"]) for r in cap_degree(edges, 2).collect()}
+    # hub 'a' keeps its 2 strongest; (a,d) survives because d keeps it
+    assert ("a", "b") in out and ("a", "c") in out
+    assert ("a", "d") in out and ("d", "e") in out
+
+
 def test_ivf_centroid_training_deterministic(embeddings):
     c1 = ann.train_ivf_centroids(embeddings, n_cells=8, iters=2, seed=7)
     c2 = ann.train_ivf_centroids(embeddings, n_cells=8, iters=2, seed=7)
