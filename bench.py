@@ -263,10 +263,13 @@ float vectors; our target metric is docs/sec end-to-end dedup at
 dup-pair recall >= 0.99 (gated in tests/test_pipeline.py at the same
 frozen config).
 """)
-    return {"lo": lo, "hi": hi, "efficiency": round(eff, 3),
-            "host_ceiling": host["ceiling"],
-            "efficiency_vs_host_ceiling": round(rel, 3),
-            "runs": runs}
+    result = {"lo": lo, "hi": hi, "efficiency": round(eff, 3),
+              "host_ceiling": host["ceiling"],
+              "efficiency_vs_host_ceiling": round(rel, 3),
+              "runs": runs}
+    with open(os.path.join(os.path.dirname(path), "scaling.json"), "w") as f:
+        json.dump(result, f)
+    return result
 
 
 def main() -> None:
@@ -312,6 +315,19 @@ def main() -> None:
     if scaling:
         spark.stop()
         result["scaling"] = write_scaling_report()
+    else:
+        # attach the most recent scaling evidence (BENCH/scaling.json)
+        # so every per-round bench line carries it
+        prior = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "scaling.json")
+        if os.path.exists(prior):
+            with open(prior) as f:
+                s = json.load(f)
+            result["scaling"] = {
+                k: s[k] for k in
+                ("efficiency", "host_ceiling", "efficiency_vs_host_ceiling")}
+            result["scaling"]["lo"] = s["lo"]
+            result["scaling"]["hi"] = s["hi"]
     print(json.dumps(result))
 
 

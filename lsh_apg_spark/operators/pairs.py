@@ -158,7 +158,8 @@ def bucket_stats_from_groups(groups: DataFrame, cfg: DedupConfig,
     return agg.select(
         num_buckets.alias("num_buckets"),
         F.coalesce("max_bucket", F.lit(1)).alias("max_bucket"),
-        (F.lit(total_bucket_rows) / num_buckets).alias("avg_bucket"),
+        F.try_divide(F.lit(total_bucket_rows), num_buckets)
+         .alias("avg_bucket"),
         F.coalesce("salted_buckets", F.lit(0)).alias("salted_buckets"),
         F.coalesce("salted_rows", F.lit(0)).alias("salted_rows"),
     )

@@ -58,11 +58,16 @@ def dedup_increment(
     if have_state:
         all_docs = old_docs.unionByName(new_docs)
         all_sigs = old_sigs.unionByName(new_sigs)
-        # new docs probe existing buckets AND collide among themselves:
-        # pair generation over (old ∪ new) restricted to pairs touching
-        # a new doc — the anti-join keeps us from re-verifying old-old
         both = old_buckets.unionByName(new_buckets)
-        pairs = candidate_pairs(both, cfg, id_col)
+        # new docs PROBE the existing bucket state (the reference's
+        # per-point searchLSH insert probe, src/divGraph.h:359-469):
+        # only bucket keys that a new doc lands in can mint a new pair,
+        # so pair generation runs over that sliver of the bucket table,
+        # not the whole corpus
+        touched_keys = new_buckets.select("band", "probe", "bhash").distinct()
+        relevant = both.join(touched_keys, ["band", "probe", "bhash"],
+                             "left_semi")
+        pairs = candidate_pairs(relevant, cfg, id_col)
         new_ids = new_docs.select(F.col(id_col).alias("a"))
         new_ids_b = new_docs.select(F.col(id_col).alias("b"))
         touching_new = pairs.join(new_ids, "a", "left_semi").unionByName(

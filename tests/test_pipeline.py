@@ -111,6 +111,27 @@ def test_hot_group_salted_and_connected(fixture_bundle, result):
     assert n_pairs < HOT * (HOT - 1) / 2 + 2000, n_pairs
 
 
+def test_degenerate_corpora(spark):
+    """Empty, single-doc, and all-identical corpora flow end-to-end
+    (including the substring pass) without special-casing."""
+    empty = spark.createDataFrame([], PAGES_SCHEMA)
+    r = run_dedup(spark, empty, CFG)
+    assert r.clusters.count() == 0
+
+    one = spark.createDataFrame(
+        [("u1", None, None, "just one document here", "en")], PAGES_SCHEMA)
+    r = run_dedup(spark, one, CFG)
+    assert [(x["url"], x["cluster_id"]) for x in r.clusters.collect()] \
+        == [("u1", "u1")]
+
+    same = spark.createDataFrame(
+        [(f"u{i}", None, None, "identical text for everyone", "en")
+         for i in range(5)], PAGES_SCHEMA)
+    r = run_dedup(spark, same, CFG)
+    ids = {x["cluster_id"] for x in r.clusters.collect()}
+    assert ids == {"u0"} and r.clusters.count() == 5
+
+
 def test_substring_pass(spark, fixture_bundle):
     """Planted containment pairs (verbatim span inside unrelated
     boilerplate) are caught by winnowing + exact LCS verify."""

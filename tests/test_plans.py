@@ -63,6 +63,26 @@ def test_verify_stage_is_jvm_only(spark):
     assert "bit_count" in plan
 
 
+def test_pair_generation_is_joinless_and_jvm_only(spark):
+    """Candidate pairs expand row-locally (double explode of the
+    bucket member array): the plan must contain NO join and NO Python
+    below the dedup shuffle — a self-join sneaking back in doubles the
+    widest shuffle in the pipeline."""
+    from lsh_apg_spark.operators.banding import explode_buckets
+    from lsh_apg_spark.operators.pairs import bucket_arrays, candidate_pairs
+
+    docs = spark.createDataFrame(
+        [("u1", "a b c d e f"), ("u2", "a b c d e g")], "url string, text string")
+    sigs = compute_signatures(docs, CFG)
+    # materialized, as in the pipeline (stage "bucket_groups")
+    arrays = bucket_arrays(explode_buckets(sigs, CFG), CFG) \
+        .localCheckpoint(eager=True)
+    pairs = candidate_pairs(arrays, CFG)
+    plan = explain.simple_plan(pairs)
+    assert "Join" not in plan, "pair expansion regressed to a join"
+    assert "EvalPython" not in plan, "Python UDF in pair expansion"
+
+
 def test_codegen_covers_relational_stages(spark, docs):
     agg = docs.groupBy("lang").agg(F.avg("n_chars").alias("a"))
     assert explain.codegen_stage_count(agg) >= 1
