@@ -12,12 +12,18 @@ from pyspark.sql import functions as F
 from lsh_apg_spark.config import DedupConfig
 
 
-def band_probe_structs(cfg: DedupConfig, minhash_col: str = "minhash") -> Column:
-    """Array of (band, probe, bhash) structs for one signature.
+def band_probe_hashes(cfg: DedupConfig, minhash_col: str = "minhash") -> Column:
+    """Array of 64-bit bucket keys (bands x (1 + num_probes)) for one
+    signature. The band index and probe index are MIXED INTO the hash
+    (xxhash64 seed/prefix), so a single BIGINT is the whole bucket key —
+    no separate (band, probe) columns ride the explode, which keeps the
+    widest shuffle of the pipeline at 16 bytes/row (cross-band hash
+    collisions are 2^-64 events, and a collision only ever ADDS a
+    candidate pair that exact verification then judges).
 
-    probe 0 hashes all ``rows_per_band`` MinHash values of the band
+    Key 0 of each band hashes all ``rows_per_band`` MinHash values
     (classic banding — reference's K-value concatenated key,
-    src/e2lsh.cpp:14-23). probes 1..num_probes re-hash the band with row
+    src/e2lsh.cpp:14-23). Probes 1..num_probes re-hash the band with row
     (p-1) *left out*: two documents whose band agrees on the remaining
     rows_per_band-1 values collide on that probe even though their full
     band differs — the APG-style multi-probe recall booster (reinterprets
@@ -25,29 +31,21 @@ def band_probe_structs(cfg: DedupConfig, minhash_col: str = "minhash") -> Column
     deterministic explode instead of a sorted in-memory scan.
     """
     r = cfg.rows_per_band
-    structs = []
+    hashes = []
     for band in range(cfg.bands):
         # hash the SLICED array, not r unpacked element_at columns: the
         # wide-expression form is ~14x slower end-to-end (expression
         # blow-up under the explode generator); xxhash64 hashes array
         # contents recursively, so a 2-arg slice form is equivalent
         base = F.slice(minhash_col, band * r + 1, r)
-        structs.append(F.struct(
-            F.lit(band).alias("band"),
-            F.lit(0).alias("probe"),
-            F.xxhash64(F.lit(band), base).alias("bhash"),
-        ))
+        hashes.append(F.xxhash64(F.lit(band), base))
         for p in range(1, cfg.num_probes + 1):
             kept = F.concat(
                 F.slice(minhash_col, band * r + 1, p - 1),
                 F.slice(minhash_col, band * r + p + 1, r - p),
             )
-            structs.append(F.struct(
-                F.lit(band).alias("band"),
-                F.lit(p).alias("probe"),
-                F.xxhash64(F.lit(band), F.lit(-p), kept).alias("bhash"),
-            ))
-    return F.array(*structs)
+            hashes.append(F.xxhash64(F.lit(band), F.lit(-p), kept))
+    return F.array(*hashes)
 
 
 def canonical_pair(a: Column | str, b: Column | str) -> tuple[Column, Column]:

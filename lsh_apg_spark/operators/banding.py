@@ -15,19 +15,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lsh_apg_spark.config import DedupConfig
-from lsh_apg_spark.functions.hashing import band_probe_structs
+from lsh_apg_spark.functions.hashing import band_probe_hashes
 
 
 def explode_buckets(signatures: DataFrame, cfg: DedupConfig,
                     id_col: str = "url") -> DataFrame:
-    """(id, minhash, ...) -> (id, band INT, probe INT, bhash BIGINT).
+    """(id, minhash, ...) -> (id, bhash BIGINT).
 
-    Row count = N * bands * (1 + num_probes); with the frozen config
-    that is 48 rows/doc of 20 bytes — the explode factor is the
-    multi-probe recall knob (reference's lshUB probe budget,
-    src/divGraph.h:934-937)."""
-    return (
-        signatures
-        .select(id_col, F.explode(band_probe_structs(cfg)).alias("bp"))
-        .select(id_col, "bp.band", "bp.probe", "bp.bhash")
-    )
+    The band/probe indices live INSIDE the hash (see
+    band_probe_hashes), so a bucket row is just (id, key) — 16 bytes
+    with compact ids. Row count = N * bands * (1 + num_probes); the
+    explode factor is the multi-probe recall knob (reference's lshUB
+    probe budget, src/divGraph.h:934-937)."""
+    return signatures.select(
+        id_col, F.explode(band_probe_hashes(cfg)).alias("bhash"))

@@ -3,11 +3,12 @@
 candidate cap lshUB, src/divGraph.h:369-370,934-937).
 
 Shape chosen for 10^12-row scale: the bucket "hash table" is built with
-ONE hash-aggregated shuffle (`collect_list` per bucket key — no sort
-anywhere; the explode input never needs a window or a sizes join), and
-pair expansion is ROW-LOCAL (a double `explode` of each bucket's member
-array — no self-join). Skew policy (the north_rule's explicit
-hot-bucket handling):
+ONE wide shuffle (window count over 16-byte (id, key) rows; the
+singleton majority is discarded there, and collect_list runs
+partition-local over the survivors only), and pair expansion is
+ROW-LOCAL (a double `explode` of each bucket's member array — no
+self-join anywhere). Skew policy (the north_rule's explicit hot-bucket
+handling):
 
 * buckets with <= bucket_cap members: all-pairs within the row
   (bounded at cap^2 output rows per bucket);
@@ -36,16 +37,17 @@ from pyspark.sql import functions as F
 from lsh_apg_spark.config import DedupConfig
 from lsh_apg_spark.functions.hashing import canonical_pair
 
-BUCKET_KEY = ["band", "probe", "bhash"]
+BUCKET_KEY = ["bhash"]
 
 
 def nonsingleton_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(id, band, probe, bhash) -> same rows + `_n` bucket size, with
-    singleton buckets removed. One wide shuffle (the window's sort) —
-    counting with collect_list-style object aggregation over millions
-    of mostly-singleton groups measures 2-3x slower than this sorted
-    count (object churn dominates), so the wide pass counts LONGS and
-    only the survivors ever become arrays."""
+    """(id, bhash) -> same rows + `_n` bucket size, with singleton
+    buckets removed. One wide shuffle (the window's sorted count over
+    16-byte rows). Measured alternatives both lose: collect_list over
+    every key pays object churn on the singleton majority (2-3x), and
+    a count-aggregate + filter + join back over the explode pays a
+    second full scan plus a join that costs more than the sort saves
+    (1.8x). Only the survivors (a sliver) ever become arrays."""
     w_bucket = Window.partitionBy(*BUCKET_KEY)
     return (
         buckets.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
@@ -55,16 +57,12 @@ def nonsingleton_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def bucket_arrays(buckets: DataFrame, cfg: DedupConfig,
                   id_col: str = "url") -> DataFrame:
-    """(id, band, probe, bhash) -> (band, probe, bhash, ids, _n) with
-    singleton buckets removed.
+    """(id, bhash) -> (bhash, ids, _n) with singleton buckets removed.
 
-    Two-phase on purpose: the window count runs over the full explode
-    (compact fixed-width rows), then collect_list aggregates ONLY the
-    multi-member survivor rows — and since those are already hash-
-    partitioned by the bucket key from the window exchange, the
-    aggregation is partition-local (no second wide shuffle). The caller
-    should MATERIALIZE this survivor set (the pipeline checkpoints it):
-    it is small, and candidate_pairs + skew stats both read it."""
+    collect_list aggregates ONLY the multi-member survivor rows. The
+    caller should MATERIALIZE this survivor set (the pipeline
+    checkpoints it): it is small, and candidate_pairs + skew stats both
+    read it."""
     src = buckets if "_n" in buckets.columns \
         else nonsingleton_buckets(buckets, cfg)
     return (

@@ -22,18 +22,11 @@ from lsh_apg_spark.operators.pairs import candidate_pairs
 
 def winnow_buckets(docs: DataFrame, cfg: DedupConfig,
                    id_col: str = "url", text_col: str = "text") -> DataFrame:
-    """(id, text) -> (id, band=-1, probe=-1, bhash=fingerprint) — shaped
-    like MinHash bucket rows so pair generation is shared."""
+    """(id, text) -> (id, bhash=fingerprint) — shaped like MinHash
+    bucket rows so pair generation is shared."""
     winnow = make_winnow_udf(cfg)
-    return (
-        docs.select(id_col, F.explode(winnow(F.col(text_col))).alias("fp"))
-        .select(
-            F.col(id_col),
-            F.lit(-1).alias("band"),
-            F.lit(-1).alias("probe"),
-            F.col("fp").alias("bhash"),
-        )
-    )
+    return docs.select(
+        id_col, F.explode(winnow(F.col(text_col))).alias("bhash"))
 
 
 def substring_edges(docs: DataFrame, cfg: DedupConfig,

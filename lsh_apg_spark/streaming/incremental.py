@@ -64,9 +64,8 @@ def dedup_increment(
         # only bucket keys that a new doc lands in can mint a new pair,
         # so pair generation runs over that sliver of the bucket table,
         # not the whole corpus
-        touched_keys = new_buckets.select("band", "probe", "bhash").distinct()
-        relevant = both.join(touched_keys, ["band", "probe", "bhash"],
-                             "left_semi")
+        touched_keys = new_buckets.select("bhash").distinct()
+        relevant = both.join(touched_keys, ["bhash"], "left_semi")
         pairs = candidate_pairs(relevant, cfg, id_col)
         new_ids = new_docs.select(F.col(id_col).alias("a"))
         new_ids_b = new_docs.select(F.col(id_col).alias("b"))
