@@ -217,6 +217,18 @@ def _q_ann_lsh(spark, sf):
     return ann.lsh_topk(queries, e, k=5, dim=64).orderBy("query_id", "rank")
 
 
+def _q_ann_graph(spark, sf):
+    """Flagship ANN path: LSH-seeded proximity-graph search (the
+    'APG' — divGraph::knn + bestFirstSearchInGraph,
+    src/divGraph.h:921-1059,1093-1146). Rows-only: the kNN graph is
+    hash-seeded; the recall >= 0.95 gate lives in
+    tests/test_operators.py::test_graph_topk_recall."""
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 20)
+    return ann.graph_topk(queries, e, k=5, dim=64, T=12, ef=32) \
+        .orderBy("query_id", "rank")
+
+
 def _q_ann_ivf(spark, sf):
     """IVF-bucketed ANN (rows-only: learned quantizer, seeded)."""
     e = _emb(spark, sf)
@@ -301,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_graph": _q_ann_graph,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_diverse": _q_ann_diverse,
         # text analysis

@@ -1,15 +1,26 @@
 """ANN-mode operators over embedding columns — the reference's native
-domain (float-vector kNN, src/def.h:5-14). Two paths:
+domain (float-vector kNN, src/def.h:5-14). Four query paths:
 
 * brute-force exact top-k (the golden baseline, maps ben_make,
   src/Preprocess.cpp:107-142, and the flagship query's exact re-rank);
-* random-hyperplane LSH bucketed top-k (the scale path: signatures →
-  banding → exact re-rank of candidates only — the same
-  candidates-then-verify shape as divGraph::knn, src/divGraph.h:921-1059).
+* random-hyperplane LSH bucketed top-k with multi-probe (the pure-LSH
+  baseline, maps zlsh::knnBestFirst, src/e2lsh.cpp:573-699);
+* IVF coarse-quantized top-k (learned partitioner instead of hash
+  buckets);
+* LSH-seeded proximity-GRAPH search (the flagship: maps divGraph::knn
+  + bestFirstSearchInGraph, src/divGraph.h:921-1059,1093-1146 — LSH
+  seeds refined by neighbor-of-neighbor expansion over a kNN edge
+  table). This is the "APG" of LSH-APG: the paper's point is that
+  bucket probing alone needs ~100-500x more exact verifications than
+  LSH-seeds + graph refinement at the same recall.
 
-Distances are computed JVM-side (zip_with/aggregate, squared space
-end-to-end like USE_SQRDIST, src/def.h:3); the only Python is the
-per-batch projection UDF for LSH signatures."""
+Distance kernels run as Arrow-batched numpy (make_pair_score_udf —
+the analogue of the reference's SIMD kernels); everything between the
+kernels is DataFrame ops. Candidate relations in every bucketed path
+carry ONLY (id, bhash) — 16-byte rows; full vectors join back AFTER
+candidate dedup, so the widest shuffles never carry array columns
+(the reference's equivalent: hash tables store int ids, never vectors,
+src/e2lsh.h:162)."""
 
 from __future__ import annotations
 
@@ -74,6 +85,45 @@ def make_projection_udf(dim: int, n_planes: int, seed: int):
     return project
 
 
+def _sign_bucket_rows(
+    df: DataFrame,
+    role: str,
+    dim: int,
+    bands: int,
+    rows_per_band: int,
+    seed: int,
+    num_probes: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, ...) -> slim bucket rows (<role>_id, bhash BIGINT).
+
+    Band + probe indices are mixed INTO the 64-bit hash (same trick as
+    the dedup path, functions/hashing.band_probe_hashes) so a bucket
+    row is 16 bytes — vectors never ride the band explode. Probes
+    1..num_probes re-hash the band with sign-bit (p-1) left out: two
+    vectors whose band differs in exactly that bit still collide — the
+    APG-style multi-probe recall booster (reference probe budget
+    lshUB, src/divGraph.h:934-937) as a deterministic explode."""
+    project = make_projection_udf(dim, bands * rows_per_band, seed)
+    r = rows_per_band
+    hashes = []
+    for band in range(bands):
+        base = F.slice("_bits", band * r + 1, r)
+        hashes.append(F.xxhash64(F.lit(band), base))
+        for p in range(1, num_probes + 1):
+            kept = F.concat(
+                F.slice("_bits", band * r + 1, p - 1),
+                F.slice("_bits", band * r + p + 1, r - p),
+            )
+            hashes.append(F.xxhash64(F.lit(band), F.lit(-p), kept))
+    return (
+        df.select(F.col(id_col).alias(f"{role}_id"),
+                  project(F.col(vec_col)).alias("_bits"))
+        .select(f"{role}_id", F.explode(F.array(*hashes)).alias("bhash"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -82,52 +132,285 @@ def lsh_topk(
     bands: int = 8,
     rows_per_band: int = 4,
     seed: int = 42,
+    num_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH banding + multi-probe generates
+    candidates, exact cosine re-ranks them (the pure-LSH baseline,
+    zlsh::knnBestFirst src/e2lsh.cpp:573-699: probe buckets, exact
+    re-rank survivors — no graph phase).
+
+    Scale shape: the band explode and the bucket equi-join carry ONLY
+    (id, bhash) 16-byte rows; full vectors join back after
+    dropDuplicates, so candidate dedup happens before any array column
+    is shuffled. `stats`, if given, receives n_candidates (the exact
+    verifications performed — reference cost counter, src/alg.h:130)."""
+    qb = _sign_bucket_rows(queries, "query", dim, bands, rows_per_band,
+                           seed, num_probes, id_col, vec_col)
+    cb = _sign_bucket_rows(corpus, "neighbor", dim, bands, rows_per_band,
+                           seed, num_probes, id_col, vec_col)
+    cands = (
+        qb.join(cb, "bhash")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+    if stats is not None:
+        cands = cands.localCheckpoint(eager=True)
+        stats["n_candidates"] = cands.count()
+    return _exact_rerank(cands, queries, corpus, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    cands: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: sign-LSH banding generates candidates, exact
-    cosine re-ranks them (reference shape: LSH seeds → exact re-rank,
-    divGraph::knn steps 2-7, src/divGraph.h:921-1059)."""
-    n_planes = bands * rows_per_band
-    project = make_projection_udf(dim, n_planes, seed)
-
-    def to_buckets(df: DataFrame, role: str) -> DataFrame:
-        sig = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"_{role}v"),
-            project(F.col(vec_col)).alias("_bits"),
-        )
-        bhs = F.array(*[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(F.lit(band), F.slice(
-                    "_bits", band * rows_per_band + 1, rows_per_band))
-                 .alias("bhash"),
-            )
-            for band in range(bands)
-        ])
-        return (
-            sig.select(f"{role}_id", f"_{role}v", F.explode(bhs).alias("bp"))
-            .select(f"{role}_id", f"_{role}v", "bp.band", "bp.bhash")
-        )
-
-    qb = to_buckets(queries, "query")
-    cb = to_buckets(corpus, "neighbor")
+    """(query_id, neighbor_id) candidates -> exact-cosine top-k. The
+    vectors join AFTER candidate dedup: the query side broadcasts, the
+    corpus join is an equi-join on the (already-slim) candidate set —
+    the exact re-rank of surviving candidates (src/e2lsh.cpp:170)."""
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cv"))
     pair_score = vectors.make_pair_score_udf("cosine")
-    cands = (
-        qb.join(cb, ["band", "bhash"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("score", pair_score(F.col("_queryv"), F.col("_neighborv")))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", pair_score(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
                 F.round("score", 4).alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Proximity graph — the "APG" of LSH-APG
+# ---------------------------------------------------------------------------
+
+def build_knn_graph(
+    corpus: DataFrame,
+    T: int,
+    dim: int,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    num_probes: int = 2,
+    bucket_cap: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the kNN proximity-graph edge table (src, dst, score):
+    per node, its T best LSH-discovered neighbors by exact cosine —
+    the batch analogue of divGraph::oneByOneInsert + chooseNN_simple
+    (src/divGraph.h:764-810,568-574): LSH proposes candidates, exact
+    distance picks the T nearest, edges are symmetrized (reverse-edge
+    insertion, src/divGraph.h:512-520) before the per-node cap so
+    popular nodes are reachable from their neighbors.
+
+    Scale shape: bucket rows are 16 bytes; pair expansion is a
+    row-local double explode of per-bucket member arrays (no
+    self-join); mega-buckets are capped at `bucket_cap` members
+    (deterministic hash order — the candidate-cap lshUB,
+    src/divGraph.h:369-370) which is safe because a dense region's
+    nodes still meet in other bands. At 10^12 rows the output would be
+    written bucketed by `src` so the query-time frontier join is
+    co-located."""
+    b = _sign_bucket_rows(corpus, "n", dim, bands, rows_per_band,
+                          seed, num_probes, id_col, vec_col)
+    arrays = (
+        b.groupBy("bhash").agg(F.collect_list("n_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        # deterministic cap: order members by a seeded hash so the kept
+        # subset is stable under any partitioning, then slice
+        .withColumn("ids", F.slice(
+            F.array_sort(F.transform(
+                "ids", lambda x: F.struct(F.xxhash64(x, F.lit(seed)).alias("h"),
+                                          x.alias("id")))),
+            1, bucket_cap))
+        .withColumn("ids", F.transform("ids", lambda s: s["id"]))
+    )
+    pairs = (
+        arrays.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    cv_a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    cv_b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    pair_score = vectors.make_pair_score_udf("cosine")
+    scored = (
+        pairs.join(cv_a, "a").join(cv_b, "b")
+        .withColumn("score", pair_score(F.col("_va"), F.col("_vb")))
+        .select("a", "b", "score")
+    )
+    sym = scored.select(F.col("a").alias("src"), F.col("b").alias("dst"), "score") \
+        .unionByName(scored.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"), "score"))
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        sym.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= T)
+        .select("src", "dst", F.round("score", 6).alias("score"))
+    )
+
+
+def graph_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    edges: DataFrame | None = None,
+    T: int = 16,
+    ef: int = 48,
+    rounds: int = 4,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    num_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: dict | None = None,
+) -> DataFrame:
+    """LSH-seeded proximity-graph top-k — the flagship query path
+    (divGraph::knn, src/divGraph.h:921-1059): LSH bucket probing finds
+    seed candidates, exact scoring keeps the best `ef` per query, then
+    up to `rounds` rounds of neighbor-of-neighbor expansion over the
+    kNN edge table refine them (batch form of bestFirstSearchInGraph,
+    src/divGraph.h:1093-1146 — the per-query priority loop becomes a
+    per-round frontier JOIN + top-ef window; "admit if dist < kth
+    best" becomes "expand only nodes that entered the top-ef").
+
+    Per round: frontier(query_id, node) ⋈ edges on node=src → new
+    (query_id, dst) pairs, minus already-visited (left_anti), exact
+    score, top-ef window over old ∪ new. Converges when no new node is
+    admitted. Every relation in the loop is (query_id, node[, score])
+    — Q·ef-sized; the only corpus-sized join per round is the vector
+    lookup for newly-visited pairs, an equi-join a bucketed-by-id
+    corpus table serves without a shuffle.
+
+    `stats`, if given, receives n_candidates = exact scorings
+    (reference's q->cost, src/divGraph.h:1118-1129) and n_rounds."""
+    if edges is None:
+        edges = build_knn_graph(
+            corpus, T=T, dim=dim, bands=bands, rows_per_band=rows_per_band,
+            seed=seed, num_probes=max(num_probes, 1), id_col=id_col,
+            vec_col=vec_col)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+
+    # --- seeds: slim bucket probe (steps 2-4 of divGraph::knn)
+    qb = _sign_bucket_rows(queries, "query", dim, bands, rows_per_band,
+                           seed, num_probes, id_col, vec_col)
+    cb = _sign_bucket_rows(corpus, "neighbor", dim, bands, rows_per_band,
+                           seed, num_probes, id_col, vec_col)
+    seed_pairs = (
+        qb.join(cb, "bhash")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cv"))
+    pair_score = vectors.make_pair_score_udf("cosine")
+
+    def score(cands: DataFrame) -> DataFrame:
+        return (
+            cands.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    pair_score(F.col("_qv"), F.col("_cv")).alias("score"))
+        )
+
+    def top_ef(state: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id"))
+        return (
+            state.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= ef).drop("_r")
+        )
+
+    visited = seed_pairs.localCheckpoint(eager=True)
+    n_scored = visited.count()
+    state = top_ef(score(visited)).localCheckpoint(eager=True)
+    frontier = state.select("query_id", "neighbor_id")
+
+    n_rounds = 0
+    for _ in range(rounds):
+        expand = (
+            frontier.join(edges, frontier.neighbor_id == edges.src)
+            .select("query_id", F.col("dst").alias("neighbor_id"))
+            # a query that is itself a corpus point gets walked back to
+            # by its own neighborhood — exclude it like the seed stage
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .join(visited, ["query_id", "neighbor_id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_new = expand.count()
+        if n_new == 0:
+            break
+        n_rounds += 1
+        n_scored += n_new
+        visited = visited.unionByName(expand).localCheckpoint(eager=True)
+        newly = score(expand)
+        state = top_ef(state.unionByName(newly)).localCheckpoint(eager=True)
+        # best-first analogue: only nodes that made the cut expand next
+        frontier = state.join(
+            expand, ["query_id", "neighbor_id"], "left_semi")
+
+    if stats is not None:
+        stats["n_candidates"] = n_scored
+        stats["n_rounds"] = n_rounds
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return (
+        state.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("score", 4).alias("score"), "rank")
+    )
+
+
+def graph_stats(edges: DataFrame, golden: DataFrame | None = None) -> DataFrame:
+    """One-row graph statistics (maps divGraph::showInfo,
+    src/divGraph.h:1148-1231): node/edge counts, out-degree avg/
+    stddev/max, and — when a golden exact top-k table
+    (query_id=node, neighbor_id) is supplied — edge recall: the
+    fraction of golden kNN edges present in the graph
+    (src/divGraph.h:1199-1202's edge-vs-oracle recall)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("deg").alias("n_edges"),
+        F.round(F.avg("deg"), 4).alias("avg_degree"),
+        F.round(F.coalesce(F.stddev_samp("deg"), F.lit(0.0)), 4)
+         .alias("std_degree"),
+        F.max("deg").alias("max_degree"),
+    )
+    if golden is not None:
+        g = golden.select(F.col("query_id").alias("src"),
+                          F.col("neighbor_id").alias("dst"))
+        hit = g.join(edges.select("src", "dst"), ["src", "dst"], "left_semi") \
+            .count()
+        total = g.count()
+        stats = stats.withColumn(
+            "edge_recall",
+            F.round(F.lit(hit / total if total else 1.0), 4))
+    return stats
 
 
 def _nearest_cells_udf(centroids: np.ndarray, nprobe: int):
@@ -194,6 +477,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: dict | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_cells
     inverted lists, probe the query's nprobe nearest cells, exact
@@ -208,30 +492,27 @@ def ivf_topk(
     assign1 = _nearest_cells_udf(centroids, 1)
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv"))
-        .withColumn("cell", F.element_at(assign1(F.col("_cv")), 1))
+                      F.col(vec_col).alias("_v"))
+        .withColumn("cell", F.element_at(assign1(F.col("_v")), 1))
+        .select("neighbor_id", "cell")
     )
     assign_n = _nearest_cells_udf(centroids, nprobe)
     q = (
         queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"))
-        .withColumn("cell", F.explode(assign_n(F.col("_qv"))))
+                       F.col(vec_col).alias("_v"))
+        .withColumn("cell", F.explode(assign_n(F.col("_v"))))
+        .select("query_id", "cell")
     )
-    pair_score = vectors.make_pair_score_udf("cosine")
     cands = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("score", pair_score(F.col("_qv"), F.col("_cv")))
+        .select("query_id", "neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id",
-                F.round("score", 4).alias("score"), "rank")
-    )
+    if stats is not None:
+        cands = cands.localCheckpoint(eager=True)
+        stats["n_candidates"] = cands.count()
+    return _exact_rerank(cands, queries, corpus, k, id_col, vec_col)
 
 
 def diversified_topk(
@@ -239,26 +520,42 @@ def diversified_topk(
     corpus: DataFrame,
     k: int,
     pool_factor: int = 3,
+    pool: str = "bruteforce",
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """RNG-style diversified top-k (maps A4 chooseNN_div,
-    src/divGraph.h:576-628): take a pool of k*pool_factor exact nearest
+    src/divGraph.h:576-628): take a pool of k*pool_factor nearest
     candidates, then greedily keep a candidate only if no already-kept
     neighbor is closer to it than the query is — spreading results
     across clusters instead of returning one dense cluster.
 
-    The greedy scan has no Catalyst equivalent (each decision depends
-    on the prior kept set), so it runs as applyInPandas per query
-    group over the (small) candidate pool — the grouped-map UDTF slot
-    of SURVEY.md §2.11."""
-    pool = bruteforce_topk(queries, corpus, k=k * pool_factor,
-                           id_col=id_col, vec_col=vec_col)
+    ``pool`` selects the candidate source: "bruteforce" (exact — the
+    test oracle), "lsh" (bucketed, the scale path; requires `dim`), or
+    "graph" (LSH-seeded graph search; requires `dim`). The greedy scan
+    has no Catalyst equivalent (each decision depends on the prior
+    kept set), so it runs as applyInPandas per query group over the
+    (small) candidate pool — the grouped-map UDTF slot of SURVEY.md
+    §2.11."""
+    if pool == "bruteforce":
+        pooled = bruteforce_topk(queries, corpus, k=k * pool_factor,
+                                 id_col=id_col, vec_col=vec_col)
+    elif pool == "lsh":
+        if dim is None:
+            raise ValueError("pool='lsh' requires dim")
+        pooled = lsh_topk(queries, corpus, k=k * pool_factor, dim=dim,
+                          id_col=id_col, vec_col=vec_col)
+    elif pool == "graph":
+        if dim is None:
+            raise ValueError("pool='graph' requires dim")
+        pooled = graph_topk(queries, corpus, k=k * pool_factor, dim=dim,
+                            id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown pool {pool!r}")
     nvec = corpus.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("_nv"))
-    qvec = queries.select(F.col(id_col).alias("query_id"),
-                          F.col(vec_col).alias("_qv"))
-    joined = pool.join(nvec, "neighbor_id").join(qvec, "query_id")
+    joined = pooled.join(nvec, "neighbor_id")
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("rank")
@@ -292,3 +589,42 @@ def ann_recall(approx: DataFrame, exact: DataFrame) -> float:
     hit = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
     total = exact.count()
     return hit / total if total else 1.0
+
+
+def ann_eval(
+    approx: DataFrame,
+    exact: DataFrame,
+    n_candidates: int | None = None,
+    corpus_size: int | None = None,
+) -> dict:
+    """Full query-batch evaluation (maps Performance::update,
+    src/Query.cpp:9-67, and the CSV row RATIO/RECALL/COST,
+    src/alg.h:122-130):
+
+    * recall — |found ∩ golden| / |golden| (src/Query.cpp:58-66);
+    * ratio  — mean over rank-aligned results of approx-distance /
+      exact-distance, distance = 1 - cosine (the reference's overall
+      ratio, src/Query.cpp:41-56; 1.0 = every returned neighbor exactly
+      as close as the true one; epsilon-guarded for exact-hit rows);
+    * cost   — fraction of the corpus exact-verified per query:
+      n_candidates / (n_queries * corpus_size) (src/alg.h:130's
+      perform.cost/(num*N)) when the caller passes the candidate count
+      the operator reported through its `stats` out-param.
+    """
+    recall = ann_recall(approx, exact)
+    eps = 1e-9
+    j = (
+        approx.select("query_id", "rank", F.col("score").alias("_as"))
+        .join(exact.select("query_id", "rank", F.col("score").alias("_es")),
+              ["query_id", "rank"])
+        .agg(F.avg((F.lit(1.0) - F.col("_as") + eps)
+                   / (F.lit(1.0) - F.col("_es") + eps)).alias("ratio"))
+        .collect()
+    )
+    ratio = float(j[0]["ratio"]) if j and j[0]["ratio"] is not None else 1.0
+    out = {"recall": round(recall, 4), "ratio": round(ratio, 5)}
+    if n_candidates is not None and corpus_size:
+        n_queries = exact.select("query_id").distinct().count()
+        out["cost"] = round(
+            n_candidates / (n_queries * corpus_size), 5) if n_queries else 0.0
+    return out

@@ -46,14 +46,103 @@ def test_bruteforce_topk_finds_cluster_members(embeddings):
 
 
 def test_lsh_topk_recall(embeddings):
-    """Approximate top-k recall >= 0.8 vs exact on clustered data —
-    the reference's headline metric shape (recall at fixed config)."""
+    """Approximate top-k recall >= 0.9 vs exact on clustered data —
+    the reference's headline metric shape (recall at fixed config).
+    Multi-probe (leave-one-bit-out) lifts the old 0.8 bucket-only
+    floor (VERDICT r1 item 3)."""
     q = embeddings.filter(F.col("vec_id") < 20)
     exact = ann.bruteforce_topk(q, embeddings, k=5)
+    stats: dict = {}
     approx = ann.lsh_topk(q, embeddings, k=5, dim=32,
-                          bands=8, rows_per_band=4, seed=42)
+                          bands=8, rows_per_band=4, seed=42,
+                          num_probes=2, stats=stats)
     rec = ann.ann_recall(approx, exact)
-    assert rec >= 0.8, f"ANN recall {rec:.3f}"
+    assert rec >= 0.9, f"ANN recall {rec:.3f}"
+    assert stats["n_candidates"] > 0
+
+
+def test_lsh_topk_band_shuffle_carries_no_vectors(embeddings):
+    """The band-explode/bucket-join relations must be slim (id, bhash)
+    rows — full vectors join back only after candidate dedup (VERDICT
+    r1 'What's wrong' #2). Asserted on the slim bucket relation's
+    schema: no array column rides the explode."""
+    rows = ann._sign_bucket_rows(embeddings, "n", dim=32, bands=8,
+                                 rows_per_band=4, seed=42, num_probes=2)
+    kinds = [f.dataType.typeName() for f in rows.schema.fields]
+    assert "array" not in kinds, rows.schema
+    # explode factor = bands * (1 + probes)
+    assert rows.count() == embeddings.count() * 8 * 3
+
+
+def test_graph_topk_recall(embeddings):
+    """The flagship APG path: LSH seeds + kNN-graph expansion must
+    reach recall >= 0.95 vs brute force at fixed config — the regime
+    the reference reports (0.9942, dataset/ANN/LSH-G_div_result.csv:2)
+    which bucket-LSH alone cannot reach (VERDICT r1 item 1)."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(q, embeddings, k=10)
+    stats: dict = {}
+    approx = ann.graph_topk(q, embeddings, k=10, dim=32, T=12, ef=32,
+                            rounds=4, seed=42, stats=stats)
+    rec = ann.ann_recall(approx, exact)
+    assert rec >= 0.95, f"graph ANN recall {rec:.3f}"
+    # the graph search must do real expansion work, not just seeds
+    assert stats["n_rounds"] >= 1
+    # cost sanity: candidates verified is far below all-pairs
+    n = embeddings.count()
+    assert stats["n_candidates"] < 20 * n, stats
+
+
+def test_graph_topk_beats_seed_only_recall(embeddings):
+    """Graph refinement must IMPROVE on its own seed set (the paper's
+    core claim: LSH seeds + graph beats LSH alone at equal config).
+    Run both at a deliberately weak seed config (1 band) so the seeds
+    are poor, then check the expansion recovers recall."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(q, embeddings, k=10)
+    # a well-built graph (index build = offline, like efC=80 builds),
+    # searched with deliberately weak 1-band seeds (query-time budget)
+    edges = ann.build_knn_graph(embeddings, T=12, dim=32, seed=42)
+    weak = dict(dim=32, bands=1, rows_per_band=4, seed=42, num_probes=0)
+    seeds_only = ann.lsh_topk(q, embeddings, k=10, **weak)
+    refined = ann.graph_topk(q, embeddings, k=10, edges=edges, ef=32,
+                             rounds=4, **weak)
+    r_seed = ann.ann_recall(seeds_only, exact)
+    r_graph = ann.ann_recall(refined, exact)
+    assert r_graph > r_seed, (r_seed, r_graph)
+    assert r_graph >= 0.9, f"refined recall {r_graph:.3f}"
+
+
+def test_build_knn_graph_shape_and_stats(embeddings):
+    """Edge table: out-degree <= T, no self-loops, deterministic; and
+    graph_stats reports degrees + edge recall vs the exact kNN edges
+    (maps showInfo, src/divGraph.h:1148-1231)."""
+    edges = ann.build_knn_graph(embeddings, T=8, dim=32, seed=42)
+    deg = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert deg <= 8
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+    again = ann.build_knn_graph(embeddings, T=8, dim=32, seed=42)
+    assert sorted(map(tuple, edges.collect())) == \
+        sorted(map(tuple, again.collect()))
+    golden = ann.bruteforce_topk(embeddings.limit(50), embeddings, k=5)
+    stats = ann.graph_stats(edges, golden=golden).collect()[0].asDict()
+    assert stats["n_nodes"] == embeddings.count()
+    assert stats["avg_degree"] <= 8
+    assert 0.0 <= stats["edge_recall"] <= 1.0
+    assert stats["edge_recall"] >= 0.8, stats
+
+
+def test_ann_eval_metrics(embeddings):
+    """ann_eval returns (recall, ratio, cost) — the reference CSV's
+    RATIO/RECALL/COST triple (src/alg.h:122-130). Exact-vs-exact must
+    give recall 1, ratio ~1; cost = candidates/(queries*corpus)."""
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = ann.bruteforce_topk(q, embeddings, k=5)
+    ev = ann.ann_eval(exact, exact, n_candidates=3990,
+                      corpus_size=embeddings.count())
+    assert ev["recall"] == 1.0
+    assert abs(ev["ratio"] - 1.0) < 1e-6
+    assert abs(ev["cost"] - 3990 / (10 * 400)) < 1e-6
 
 
 def test_ivf_topk_recall_and_determinism(embeddings):
@@ -86,6 +175,20 @@ def test_diversified_topk_rng_rule(spark):
     kept = [r["neighbor_id"] for r in
             sorted(out.collect(), key=lambda r: r["rank"])]
     assert kept == [1, 3], kept
+
+
+def test_diversified_topk_lsh_pool(embeddings):
+    """pool='lsh' feeds the greedy RNG rule from bucketed candidates
+    instead of the O(N*Q) exact scan (VERDICT r1 item 7) — and the
+    plan must contain no cartesian/broadcast-nested-loop join."""
+    q = embeddings.filter(F.col("vec_id") < 5)
+    out = ann.diversified_topk(q, embeddings, k=5, pool="lsh", dim=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+    assert 0 < len(rows) <= 25
+    assert len({(r["query_id"], r["neighbor_id"]) for r in rows}) == len(rows)
 
 
 def test_cap_degree_keeps_weak_nodes_connected(spark):
