@@ -226,6 +226,52 @@ def test_simhash_neardup_on_fixture(spark):
                 assert p in found, f"exact-dup pair {p} missing"
 
 
+def test_cosine_neardup_bucketed_equals_exact(embeddings):
+    """The shipped bucketed cosine_neardup_pairs must reproduce the
+    all-pairs exact oracle (VERDICT r1 item 4) — and its plan must
+    contain no cartesian product."""
+    got = dedup.cosine_neardup_pairs(embeddings, 0.5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = dedup.cosine_allpairs_exact(embeddings, 0.5)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exact.collect()))
+
+
+def test_cosine_neardup_selective_at_high_threshold(spark):
+    """At a realistic near-dup threshold the banding prunes: planted
+    cosine~0.95 pairs in a random corpus, r=8/bands=16 finds them all
+    while verifying a small fraction of all pairs."""
+    from lsh_apg_spark.operators.ann import _sign_bucket_rows
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((200, 64))
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(200)]
+    for j in range(20):  # planted near-dups of vectors 0..19
+        v = base[j] + 0.12 * rng.standard_normal(64)
+        rows.append((200 + j, [float(x) for x in v], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int") \
+        .localCheckpoint(eager=True)
+    cfg = dict(bands=16, rows_per_band=8, num_probes=1)
+    got = dedup.cosine_neardup_pairs(df, 0.85, **cfg)
+    exact = dedup.cosine_allpairs_exact(df, 0.85)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exact.collect()))
+    assert exact.count() >= 20  # the planted pairs are really there
+    b = _sign_bucket_rows(df, "n", 64, 16, 8, 42, 1)
+    arr = b.groupBy("bhash").agg(F.collect_list("n_id").alias("ids")) \
+        .filter(F.size("ids") >= 2)
+    cands = (
+        arr.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"]).count()
+    )
+    n = df.count()
+    assert cands / (n * (n - 1) / 2) < 0.2, cands
+
+
 def test_exact_dedup_matches_cc_variant(spark):
     docs = spark.createDataFrame(
         [(0, "a b c"), (1, "a b c"), (2, "x y"), (3, "x y"), (4, "solo"),
