@@ -65,11 +65,19 @@ class DedupConfig:
     def to_dict(self) -> dict:
         return asdict(self)
 
+    # Checkpoint schema/format version: bump whenever the on-disk shape
+    # of any stage output changes (columns, hash functions, encodings),
+    # so stale checkpoints are invalidated instead of resumed into a
+    # missing-column failure. v2: signatures gained `bhashes`; bucket
+    # keys moved from JVM xxhash64 to the UDF's splitmix fold.
+    SCHEMA_VERSION = 2
+
     def config_id(self) -> str:
         """Stable identity string stored beside every checkpoint."""
         items = sorted((k, v) for k, v in self.to_dict().items()
                        if k != "shuffle_partitions")
-        return "|".join(f"{k}={v}" for k, v in items)
+        return f"v{self.SCHEMA_VERSION}|" + \
+            "|".join(f"{k}={v}" for k, v in items)
 
 
 DEFAULT_CONFIG = DedupConfig()

@@ -23,16 +23,24 @@ _SIGNATURE_SCHEMA = StructType([
     StructField("minhash", ArrayType(LongType(), False), False),
     StructField("simhash", LongType(), False),
     StructField("shingles", ArrayType(LongType(), False), False),
+    StructField("bhashes", ArrayType(LongType(), False), False),
 ])
 
 
 def make_signature_udf(cfg: DedupConfig):
     """(text) -> struct<minhash: array<bigint>, simhash: bigint,
-    shingles: array<bigint>>.
+    shingles: array<bigint>, bhashes: array<bigint>>.
 
     ``shingles`` is the sorted distinct shingle-hash set itself — stored
     so exact-Jaccard verification is a pure JVM array_intersect over the
     pair join (no Python in the verify path; SURVEY.md §2.2 P8/P10).
+
+    ``bhashes`` is the precomputed LSH band+probe bucket-key array
+    (bands*(1+num_probes) BIGINTs, kernels.band_probe_keys): computing
+    it here costs ~ms per Arrow batch (one vectorized fold over the
+    batch's minhash matrix) whereas the JVM expression form under the
+    bucket explode measured ~6 s per 100k docs and did not scale with
+    cores — the banding stage downstream is then a bare explode.
 
     Iterator form so the (a, b) MinHash params are materialized once per
     executor task, not per batch — the Spark analogue of broadcasting
@@ -41,22 +49,28 @@ def make_signature_udf(cfg: DedupConfig):
     k = cfg.shingle_size
     num_hashes = cfg.num_hashes
     seed = cfg.seed
+    bands, rows_per_band = cfg.bands, cfg.rows_per_band
+    num_probes = cfg.num_probes
 
     @F.pandas_udf(_SIGNATURE_SCHEMA)
     def signature_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         a, b = kernels.minhash_params(num_hashes, seed)
         for texts in it:
             cache: dict[str, np.uint64] = {}
-            minhashes = []
+            minhashes = np.empty((len(texts), num_hashes), dtype=np.int64)
             shingle_sets = []
             simhashes = np.empty(len(texts), dtype=np.int64)
             for i, text in enumerate(texts):
                 sh = kernels.shingle_hashes(text or "", k, cache)
-                minhashes.append(kernels.minhash_signature(sh, a, b))
+                minhashes[i] = kernels.minhash_signature(sh, a, b)
                 simhashes[i] = kernels.simhash64(sh)
                 shingle_sets.append(sh.view(np.int64))
-            yield pd.DataFrame({"minhash": minhashes, "simhash": simhashes,
-                                "shingles": shingle_sets})
+            bkeys = kernels.band_probe_keys(
+                minhashes, bands, rows_per_band, num_probes)
+            yield pd.DataFrame({"minhash": list(minhashes),
+                                "simhash": simhashes,
+                                "shingles": shingle_sets,
+                                "bhashes": list(bkeys)})
 
     return signature_udf
 

@@ -23,9 +23,20 @@ def explode_buckets(signatures: DataFrame, cfg: DedupConfig,
     """(id, minhash, ...) -> (id, bhash BIGINT).
 
     The band/probe indices live INSIDE the hash (see
-    band_probe_hashes), so a bucket row is just (id, key) — 16 bytes
-    with compact ids. Row count = N * bands * (1 + num_probes); the
-    explode factor is the multi-probe recall knob (reference's lshUB
-    probe budget, src/divGraph.h:934-937)."""
+    band_probe_hashes / kernels.band_probe_keys), so a bucket row is
+    just (id, key) — 16 bytes with compact ids. Row count =
+    N * bands * (1 + num_probes); the explode factor is the
+    multi-probe recall knob (reference's lshUB probe budget,
+    src/divGraph.h:934-937).
+
+    When the signatures carry a precomputed ``bhashes`` column (the
+    standard pipeline path) this is a bare explode — zero per-row hash
+    work. The JVM expression fallback exists for minhash-only frames
+    (its 48 slice/concat allocations per row measured ~6 s/100k docs
+    and did not scale with cores, which is why the keys moved into the
+    signature UDF's numpy pass)."""
+    if "bhashes" in signatures.columns:
+        return signatures.select(
+            id_col, F.explode("bhashes").alias("bhash"))
     return signatures.select(
         id_col, F.explode(band_probe_hashes(cfg)).alias("bhash"))

@@ -18,7 +18,7 @@ tie-break SURVEY.md §7.4 demands."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -51,13 +51,15 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "url",
     max_iter: int = 50,
-    checkpoint_every: int = 1,
 ) -> DataFrame:
     """edges(a, b) [+ nodes(id)] -> (id_col, cluster_id).
 
     ``nodes`` supplies singleton documents (no edges) so every doc gets
     an assignment; if omitted, only endpoint docs are labeled.
     """
+    # NB: AQE stays ON here — measured: its partition coalescing on the
+    # loop's tiny 16-byte-row shuffles outweighs its per-round replan
+    # cost (AQE-off was 2x slower at 16 cores).
     e = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     # undirected: propagate both ways
     und = e.unionByName(e.select(F.col("dst").alias("src"),
@@ -73,17 +75,17 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     und = und.localCheckpoint(eager=True)
 
-    # convergence via a one-job checksum: labels only ever decrease
-    # (min-propagation is monotone), so an unchanged hash-sum means a
-    # fixpoint — cheaper than a join+count per iteration
-    def checksum(df: DataFrame):
-        # decimal accumulation: a sum of int64 hashes overflows LongType
-        # under ANSI mode
-        return df.agg(
-            F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))
-             .alias("s")).collect()[0]["s"]
-
-    prev = checksum(labels)
+    # convergence via a checksum OBSERVED on the checkpoint job itself:
+    # labels only ever decrease (min-propagation is monotone), so an
+    # unchanged hash-sum means a fixpoint. Observation rides the same
+    # job that materializes the round's localCheckpoint — ONE Spark job
+    # per round instead of checkpoint-job + checksum-job (the CC loop
+    # is latency-bound: serial rounds of small shuffles, so job count
+    # is the cost that neither data size nor cores amortize).
+    # decimal accumulation: a sum of int64 hashes overflows LongType
+    # under ANSI mode.
+    chk = F.sum(F.xxhash64("id", "label").cast("decimal(38,0)")).alias("s")
+    prev = labels.agg(chk).collect()[0]["s"]
     for it in range(max_iter):
         # prop: min label among self + neighbors
         nbr = (
@@ -102,10 +104,12 @@ def connected_components(
             new.join(lut, "label", "left")
             .select("id", F.least("label", "_label2").alias("label"))
         )
-        if checkpoint_every and it % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
-        labels = new
-        cur = checksum(labels)
+        obs = Observation(f"cc_round_{it}")
+        new = new.observe(obs, chk)
+        # eager checkpoint doubles as the round's action (truncates
+        # lineage AND materializes the observed checksum)
+        labels = new.localCheckpoint(eager=True)
+        cur = obs.get["s"]
         if cur == prev:
             break
         prev = cur

@@ -21,11 +21,13 @@ def compute_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, text, ...) -> (id, minhash ARRAY<BIGINT>, simhash BIGINT,
-    shingles ARRAY<BIGINT>).
+    shingles ARRAY<BIGINT>, bhashes ARRAY<BIGINT>).
 
     ``shingles`` (the distinct shingle-hash set) rides along so the
     verify stage is a JVM-only array_intersect — the text column never
-    needs to be joined again downstream.
+    needs to be joined again downstream. ``bhashes`` (the LSH bucket
+    keys, computed vectorized inside the same Arrow pass) makes the
+    banding stage a bare explode.
 
     Column-pruned: only (id, text) are read from the scan; Catalyst
     pushes the projection into the parquet/Iceberg reader."""
@@ -38,5 +40,6 @@ def compute_signatures(
             F.col("_sig.minhash").alias("minhash"),
             F.col("_sig.simhash").alias("simhash"),
             F.col("_sig.shingles").alias("shingles"),
+            F.col("_sig.bhashes").alias("bhashes"),
         )
     )

@@ -99,10 +99,13 @@ def run_dedup(
     # sort-heavy, and an 8-byte id vs a ~40-60B url string is a ~3x
     # row-width (= memory-bandwidth = shuffle-volume) reduction — the
     # Spark analogue of the reference working on int ids (src/def.h).
-    # xxhash64 collisions would merge two documents' candidate sets;
-    # at sandbox scale the probability is negligible and a collision
-    # only ever ADDS candidate pairs, which exact verification then
-    # judges on real content (at 10^12 docs, swap in a 128-bit id).
+    # xxhash64 nid collision failure mode: two DISTINCT documents fuse
+    # into one graph node, silently merging their clusters with no
+    # content check (verification never sees the pair — they share an
+    # id). Probability ~n^2/2^65: negligible for sandbox corpora, and
+    # at 10^12 docs the id must widen to 128 bits. A cheap guard for
+    # paranoid runs: assert id_map.count() == id_map.select("_nid")
+    # .distinct().count().
     id_map = (
         rep_map.filter(F.col(id_col) == F.col("_rep"))
         .select(id_col, F.xxhash64(F.col(id_col), F.lit(17)).alias("_nid"))

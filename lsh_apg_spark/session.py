@@ -48,14 +48,30 @@ def get_spark(
         # design avoids
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 "4000000")
+        # the verify stage joins candidate pairs against wide
+        # array-carrying signature rows: sort-merge pays a sort of the
+        # wide rows on both sides, shuffled-hash builds a map on the
+        # (slim) pair side instead — measurably faster for every join
+        # in this pipeline, and AQE still falls back/split-handles skew
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     # shuffle/spill scratch on tmpfs when available: local-mode stand-in
     # for cluster NVMe shuffle volumes, and it keeps benchmark numbers
-    # from being dominated by virtualized-disk variance
+    # from being dominated by virtualized-disk variance. Gated on free
+    # space (tmpfs spill consumes RAM): a /dev/shm with <16 GiB free
+    # falls back to Spark's default disk scratch instead of risking
+    # memory exhaustion through the page cache.
     shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
-    if os.path.isdir(os.path.dirname(shm) or "/"):
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
+    parent = os.path.dirname(shm) or "/"
+    if os.path.isdir(parent):
+        try:
+            st = os.statvfs(parent)
+            free_gib = st.f_bavail * st.f_frsize / (1 << 30)
+        except OSError:
+            free_gib = 0.0
+        if not shm.startswith("/dev/shm") or free_gib >= 16:
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -45,6 +45,33 @@ def test_incremental_redelivery_idempotent(spark, corpus, tmp_path):
     assert _assignments(again) == a1
 
 
+def test_incremental_cc_bounded_by_touched_components(spark, tmp_path):
+    """The per-batch CC input must be the TOUCHED components + new
+    docs, not the accumulated corpus (VERDICT r1 item 8): batch 2 adds
+    documents near-duplicating only a few batch-1 docs, so the re-run
+    subgraph must be far smaller than the corpus — while the final
+    assignment still equals the one-shot batch run."""
+    fx = generate_pages(n_docs=200, seed=23)
+    corpus = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA) \
+        .localCheckpoint(eager=True)
+    store = CheckpointStore(spark, str(tmp_path / "inc3"), CFG)
+    first = corpus.limit(180)
+    rest = corpus.subtract(first)
+    m1: dict = {}
+    dedup_increment(spark, first, store, CFG, metrics=m1)
+    m2: dict = {}
+    final = dedup_increment(spark, rest, store, CFG, metrics=m2)
+    n_total = corpus.count()
+    n_batch2 = rest.count()
+    # batch 1 clusters everything it saw; batch 2 must NOT
+    assert m1["cc_nodes"] == 180
+    assert m2["cc_nodes"] < n_total / 2, m2
+    # every batch-2 doc is in the subgraph, plus only touched components
+    assert m2["cc_nodes"] >= n_batch2
+    batch = run_dedup(spark, corpus, CFG, include_substring=False).clusters
+    assert _assignments(final) == _assignments(batch)
+
+
 def test_structured_streaming_drain(spark, corpus, tmp_path):
     """readStream → foreachBatch(dedup_increment) with availableNow:
     drains the drop directory and lands the same assignments."""
