@@ -244,6 +244,32 @@ def _q_ann_diverse(spark, sf):
     return ann.diversified_topk(queries, e, k=5).orderBy("query_id", "rank")
 
 
+def _q_ann_eval(spark, sf):
+    """A8 query-batch metrics as a first-class operator (maps
+    Performance::update + the CSV row RATIO/RECALL/COST,
+    src/Query.cpp:9-67, src/alg.h:122-130): one row per ANN variant
+    with its recall/ratio/cost vs brute force. Rows-only (the
+    variants are hash/quantizer-seeded)."""
+    e = _emb(spark, sf)
+    queries_df = e.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(queries_df, e, k=10)
+    n = e.count()
+    rows = []
+    for name, fn in [
+        ("lsh", lambda s: ann.lsh_topk(queries_df, e, k=10, dim=64, stats=s)),
+        ("graph", lambda s: ann.graph_topk(queries_df, e, k=10, dim=64,
+                                           T=12, ef=32, stats=s)),
+    ]:
+        stats: dict = {}
+        ev = ann.ann_eval(fn(stats), exact,
+                          n_candidates=stats.get("n_candidates"),
+                          corpus_size=n)
+        rows.append((name, ev["recall"], ev["ratio"], ev.get("cost")))
+    return spark.createDataFrame(
+        rows, "variant string, recall double, ratio double, cost double") \
+        .orderBy("variant")
+
+
 def _q_media_features(spark, sf):
     """Multimodal plumbing (mapInPandas over BINARY payloads): the
     deterministic fake-decode runs for real; only the SQL-checkable
@@ -316,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_graph": _q_ann_graph,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_diverse": _q_ann_diverse,
+        "ann_eval_metrics": _q_ann_eval,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,

@@ -218,12 +218,23 @@ def run_parallelism_level(cpus: int, n_docs: int) -> dict:
     JVM per level is the honest analogue of a fresh cluster: reusing
     one JVM lets the first run's heap state (GC pressure, pinned
     localCheckpoint blocks) contaminate the second measurement by 2x+.
+
+    The process is CPU-PINNED (taskset) to exactly `cpus` vCPUs: an
+    unpinned local[4] lets the JVM's service threads (GC, shuffle
+    writers, netty) spill onto all 32 vCPUs, silently inflating the
+    small-level baseline — a fixed-size executor container cannot do
+    that, so pinning is the faithful N-executor analogue (and it
+    measurably IMPROVES absolute walls by stopping scheduler
+    migration: 44s vs 56s for the same pinned vs unpinned 4-core run).
     """
     import subprocess
 
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--level", str(cpus), "--docs", str(n_docs)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__),
-         "--level", str(cpus), "--docs", str(n_docs)],
+        cmd,
         capture_output=True, text=True, timeout=3600,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )

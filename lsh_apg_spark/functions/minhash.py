@@ -78,10 +78,16 @@ def make_signature_udf(cfg: DedupConfig):
 def make_jaccard_udf(cfg: DedupConfig):
     """(text_a, text_b) -> double exact word-shingle Jaccard.
 
-    The verification kernel (maps exact re-ranking src/e2lsh.cpp:170 and
-    the popcount Jaccard src/distances_simd_avx512.cpp:416-420). Shingle
-    sets are recomputed per pair: at web scale shipping texts to the
-    pair is cheaper than materializing every doc's full shingle set."""
+    NOT the shipped verify path — kept as variant C of the verify
+    payload A/B (scripts/ab_verify.py). Measured at 400k docs /
+    local[16] (530k candidate pairs): recomputing shingles per pair
+    from text is 2.0x SLOWER (15.5s vs 7.7s) than the shipped JVM
+    array_intersect over materialized shingle sets, because text rows
+    are as wide as shingle-set rows AND the kernel re-pays
+    tokenize+hash per pair in Python. The bottom-k sketch variant (B)
+    saved only 16% while mis-deciding ~1.1% of edges at the tau
+    boundary — unacceptable against the exact-oracle correctness gate.
+    Decision recorded in BASELINE.md."""
     k = cfg.shingle_size
 
     @F.pandas_udf(DoubleType())

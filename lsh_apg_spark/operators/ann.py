@@ -320,6 +320,18 @@ def graph_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id")
     )
+    # a query colliding with nothing in any band still needs an entry
+    # into the graph — the reference seeds such queries with point 0
+    # (src/divGraph.h:1040-1042); here: the min corpus id
+    entry_id = corpus.agg(F.min(id_col)).collect()[0][0]
+    unseeded = (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(seed_pairs.select("query_id").distinct(), "query_id",
+              "left_anti")
+        .withColumn("neighbor_id", F.lit(entry_id))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    seed_pairs = seed_pairs.unionByName(unseeded)
 
     qv = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("_qv"))
@@ -513,6 +525,97 @@ def ivf_topk(
         cands = cands.localCheckpoint(eager=True)
         stats["n_candidates"] = cands.count()
     return _exact_rerank(cands, queries, corpus, k, id_col, vec_col)
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the corpus written PARTITIONED BY cell
+    (so a query's nprobe cells prune to nprobe/n_cells of the files —
+    the Spark-native analogue of the reference's inverted lists) plus
+    the centroid table beside it. Maps the index save/load surface
+    S5-S8 (zlsh::save / divGraph::save, src/e2lsh.cpp:462-495,
+    src/divGraph.h:1336-1388) to the ANN-mode domain: partition
+    pruning replaces the hand-rolled binary deserialization."""
+    centroids = train_ivf_centroids(
+        corpus, n_cells, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col)
+    assign1 = _nearest_cells_udf(centroids, 1)
+    (
+        corpus.select(id_col, vec_col)
+        .withColumn("cell", F.element_at(assign1(F.col(vec_col)), 1))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(f"{path}/corpus")
+    )
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in centroids[i]])
+                 for i in range(len(centroids))]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Query a persisted IVF index (save_ivf_index): probe the nprobe
+    nearest cells and let the `cell IN (...)` filter PRUNE PARTITIONS
+    at the parquet scan — only nprobe/n_cells of the corpus files are
+    read, the storage-level realization of 'query touches a fraction
+    of N' (the reference's query cost model, src/alg.h:130)."""
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assign_n = _nearest_cells_udf(centroids, nprobe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+        .withColumn("cell", F.explode(assign_n(F.col("_qv"))))
+        .select("query_id", "cell")
+    )
+    cand_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    pruned = corpus.filter(F.col("cell").isin(cand_cells))
+    c = pruned.select(F.col(id_col).alias("neighbor_id"), "cell")
+    cands = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+    if stats is not None:
+        cands = cands.localCheckpoint(eager=True)
+        stats["n_candidates"] = cands.count()
+        stats["cells_read"] = len(cand_cells)
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"))
+    cv = pruned.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cv"))
+    pair_score = vectors.make_pair_score_udf("cosine")
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", pair_score(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("score", 4).alias("score"), "rank")
+    )
 
 
 def diversified_topk(

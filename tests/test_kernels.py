@@ -95,3 +95,23 @@ def test_lcs_len():
     assert kernels.longest_common_substring_len("hello world", "say hello world!") == 11
     assert kernels.longest_common_substring_len("abc", "xyz") == 0
 
+
+def test_lcs_len_matches_difflib():
+    """The rolling-hash binary-search LCS must agree with the exact
+    O(n*m) difflib scan it replaced (randomized, with planted shared
+    substrings)."""
+    import difflib
+    import random
+
+    rng = random.Random(7)
+    for _ in range(60):
+        n1, n2 = rng.randint(0, 60), rng.randint(0, 60)
+        a = "".join(rng.choice("abc ") for _ in range(n1))
+        b = "".join(rng.choice("abc ") for _ in range(n2))
+        if rng.random() < 0.5 and n1 > 10:
+            i = rng.randint(0, n1 - 10)
+            b += a[i:i + rng.randint(5, n1 - i)]
+        sm = difflib.SequenceMatcher(None, a, b, autojunk=False)
+        want = sm.find_longest_match(0, len(a), 0, len(b)).size
+        assert kernels.longest_common_substring_len(a, b) == want, (a, b)
+

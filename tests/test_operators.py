@@ -132,6 +132,25 @@ def test_build_knn_graph_shape_and_stats(embeddings):
     assert stats["edge_recall"] >= 0.8, stats
 
 
+def test_ivf_index_save_load_prunes_partitions(embeddings, tmp_path):
+    """Persisted IVF index (S5-S8 analogue): querying the saved index
+    must (a) read only the probed cells' partitions — PartitionFilters
+    in the scan — and (b) return exactly what the in-memory ivf_topk
+    returns at the same seed."""
+    path = str(tmp_path / "ivf")
+    ann.save_ivf_index(embeddings, path, n_cells=32, seed=42)
+    spark = embeddings.sparkSession
+    q = embeddings.filter(F.col("vec_id") < 10)
+    stats: dict = {}
+    got = ann.ivf_index_topk(spark, path, q, k=5, nprobe=8, stats=stats)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert stats["cells_read"] <= 32
+    mem = ann.ivf_topk(q, embeddings, k=5, n_cells=32, nprobe=8, seed=42)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, mem.collect()))
+
+
 def test_ann_eval_metrics(embeddings):
     """ann_eval returns (recall, ratio, cost) — the reference CSV's
     RATIO/RECALL/COST triple (src/alg.h:122-130). Exact-vs-exact must
