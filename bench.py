@@ -148,14 +148,19 @@ def run_level_inprocess(cpus: int, n_docs: int) -> dict:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+    # 2-3 tasks per core is the standard straggler-smoothing ratio on
+    # a real cluster (the session docstring's own advice); expose the
+    # multiplier so the scaling harness can A/B it
+    mult = int(os.environ.get("SPARK_GRAFT_PARTS_PER_CORE", "1"))
+    parts = max(8, cpus * mult)
     spark = get_spark(f"bench_scaling_{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(8, cpus))
+                      shuffle_partitions=parts)
     try:
         warm = _make_pages(spark, 0.002)
         _run_dedup(spark, warm)
         fx = generate_pages(n_docs=n_docs, seed=42)
         pages = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA) \
-            .repartition(max(8, cpus)).localCheckpoint(eager=True)
+            .repartition(parts).localCheckpoint(eager=True)
         n = pages.count()
         steal0 = _steal_jiffies()
         t0 = time.monotonic()
