@@ -454,6 +454,8 @@ def main() -> None:
                 ("efficiency", "host_ceiling", "efficiency_vs_host_ceiling")}
             result["scaling"]["lo"] = s["lo"]
             result["scaling"]["hi"] = s["hi"]
+            if "scale_series" in s:
+                result["scaling"]["scale_series"] = s["scale_series"]
     print(json.dumps(result))
 
 
