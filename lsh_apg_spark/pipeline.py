@@ -49,7 +49,15 @@ def run_dedup(
     checkpoint_dir: str | None = None,
     metrics_path: str | None = None,
     include_substring: bool = True,
+    materialize_intermediates: bool = True,
 ) -> DedupResult:
+    """``materialize_intermediates=False`` skips the pairs/edges stage
+    barriers (each a localCheckpoint + count job) when no checkpoint
+    store is attached: every frame is still computed exactly once
+    (verify reads pairs once; CC materializes the edge union itself),
+    but the per-stage row counts/walls for those two stages are not
+    recorded. Use for latency-sensitive small-corpus runs; keep the
+    default for observability and any run that resumes."""
     cfg = cfg or DedupConfig()
     store = CheckpointStore(spark, checkpoint_dir, cfg) if checkpoint_dir else None
     sink = MetricsSink(metrics_path) if metrics_path else None
@@ -125,9 +133,11 @@ def run_dedup(
     # join branches
     groups = stage("bucket_groups",
                    lambda: bucket_arrays(buckets, cfg, id_col="nid"))
-    pairs = stage("pairs", lambda: candidate_pairs(groups, cfg, id_col="nid"))
+    mat = materialize_intermediates or store is not None
+    pairs = stage("pairs", lambda: candidate_pairs(groups, cfg, id_col="nid"),
+                  materialize=mat)
     edges = stage("edges", lambda: verify_edges(
-        pairs, signatures, cfg, id_col="nid"))
+        pairs, signatures, cfg, id_col="nid"), materialize=mat)
 
     sub = None
     if include_substring:
