@@ -120,8 +120,11 @@ def _scaling_docs() -> int:
     how per-core WORK scales, so the job must be compute-dominated —
     at small n the fixed per-stage costs (job scheduling, stage
     barriers, the CC driver loop) swamp the signal, exactly as a
-    1000-executor cluster would be swamped by a 1-minute job."""
-    return int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
+    1000-executor cluster would be swamped by a 1-minute job.
+    Measured series (BENCH/scaling.json scale_series): raw 4->16
+    efficiency 0.497 at 200k docs, 0.785 at 800k — default to the
+    size where the criterion measures the job, not the latency."""
+    return int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "800000"))
 
 
 def _scaling_levels() -> tuple[int, int]:
