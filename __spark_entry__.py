@@ -83,8 +83,8 @@ def _q_profile(spark, sf):
 
 
 def _q_cosine_neardup(spark, sf):
-    return dedup.cosine_neardup_pairs(_emb(spark, sf), threshold=0.4) \
-        .orderBy("a", "b")
+    return dedup.cosine_neardup_pairs(_emb(spark, sf), threshold=0.4,
+                                      dim=64).orderBy("a", "b")
 
 
 def _q_ann_bruteforce(spark, sf):
@@ -238,10 +238,13 @@ def _q_ann_ivf(spark, sf):
 
 def _q_ann_diverse(spark, sf):
     """RNG-diversified top-k (rows-only: greedy selection is not
-    SQL-expressible; semantics gated by tests/test_operators.py)."""
+    SQL-expressible; semantics gated by tests/test_operators.py).
+    Pool = the bucketed LSH scale path, not the O(N*Q) brute-force
+    oracle (VERDICT r2 item 5)."""
     e = _emb(spark, sf)
     queries = e.filter(F.col("vec_id") < 20)
-    return ann.diversified_topk(queries, e, k=5).orderBy("query_id", "rank")
+    return ann.diversified_topk(queries, e, k=5, pool="lsh", dim=64) \
+        .orderBy("query_id", "rank")
 
 
 def _q_ann_eval(spark, sf):

@@ -70,7 +70,12 @@ class DedupConfig:
     # so stale checkpoints are invalidated instead of resumed into a
     # missing-column failure. v2: signatures gained `bhashes`; bucket
     # keys moved from JVM xxhash64 to the UDF's splitmix fold.
-    SCHEMA_VERSION = 2
+    # v3: substring kernels (winnowing fingerprints + LCS) moved from
+    # UTF-8 byte units to Unicode code points — non-ASCII corpora hash
+    # differently. NB: the incremental store FAILS LOUDLY on a version
+    # mismatch instead of silently restarting state
+    # (streaming/incremental.py, ADVICE r2).
+    SCHEMA_VERSION = 3
 
     def config_id(self) -> str:
         """Stable identity string stored beside every checkpoint."""

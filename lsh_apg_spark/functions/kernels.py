@@ -184,19 +184,31 @@ def hamming64(x: int, y: int) -> int:
 # Winnowing fingerprints (substring pass)
 # ---------------------------------------------------------------------------
 
+def _codepoints(text: str) -> np.ndarray:
+    """Text as a uint64 array of Unicode CODE POINTS (UTF-32 view).
+
+    Both substring kernels (winnowing + LCS) index in code points, not
+    UTF-8 bytes, so every length in the substring pass means CHARACTERS
+    — matching config.min_substring_len's documented unit. A byte view
+    silently shrank the effective char threshold up to 4x on CJK text
+    and could match across partial multi-byte sequences (ADVICE r2)."""
+    return np.frombuffer(
+        text.encode("utf-32-le", errors="surrogatepass"), dtype=np.uint32
+    ).astype(U64)
+
+
 def winnow_fingerprints(text: str, kgram: int, window: int) -> np.ndarray:
     """Winnowing (Schleimer et al., SIGMOD'03): distinct selected k-gram
     hashes such that any two texts sharing a substring of length
-    >= window + kgram - 1 share at least one fingerprint. Content-
-    defined selection → offset-independent, so a verbatim span embedded
-    at any position still collides (replaces a global suffix array with
-    an embarrassingly parallel per-document pass).
+    >= window + kgram - 1 CHARACTERS share at least one fingerprint.
+    Content-defined selection → offset-independent, so a verbatim span
+    embedded at any position still collides (replaces a global suffix
+    array with an embarrassingly parallel per-document pass).
     """
-    data = text.encode("utf-8", errors="surrogatepass")
-    n = len(data)
+    arr = _codepoints(text)
+    n = len(arr)
     if n < kgram:
         return np.empty(0, dtype=U64)
-    arr = np.frombuffer(data, dtype=np.uint8).astype(U64)
     m = n - kgram + 1
     # polynomial rolling hash of every k-gram, vectorized over positions
     h = np.zeros(m, dtype=U64)
@@ -237,8 +249,7 @@ def _window_hashes(csum: np.ndarray, bpow: np.ndarray, L: int) -> np.ndarray:
         return (tail - head) * bpow[L - 1: L - 1 + m]
 
 
-def _hash_prefix(data: bytes) -> tuple[np.ndarray, np.ndarray]:
-    arr = np.frombuffer(data, dtype=np.uint8).astype(U64)
+def _hash_prefix(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(arr)
     with np.errstate(over="ignore"):
         binv = np.empty(n, dtype=U64)
@@ -256,18 +267,19 @@ def _hash_prefix(data: bytes) -> tuple[np.ndarray, np.ndarray]:
 
 
 def longest_common_substring_len(a: str, b: str) -> int:
-    """Longest-common-substring length (verification for the substring
-    pass) via binary search over shared rolling-hash windows —
-    O((n+m) log min(n,m)) numpy, replacing the O(n*m) GIL-bound
-    difflib scan (VERDICT r1 'What's wrong' #5: a boilerplate-heavy
-    corpus made the old form the bottleneck). A shared length-L window
-    hash is accepted as a shared substring: with 64-bit hashes over
-    non-adversarial text the collision odds per comparison are ~2^-64
-    (same trust model as the winnowing candidate stage). Operates on
-    UTF-8 bytes, like the winnowing kernel it verifies."""
-    da = a.encode("utf-8", errors="surrogatepass")
-    db = b.encode("utf-8", errors="surrogatepass")
-    if not da or not db:
+    """Longest-common-substring length in CHARACTERS (verification for
+    the substring pass) via binary search over shared rolling-hash
+    windows — O((n+m) log min(n,m)) numpy, replacing the O(n*m)
+    GIL-bound difflib scan (VERDICT r1 'What's wrong' #5: a
+    boilerplate-heavy corpus made the old form the bottleneck). A
+    shared length-L window hash is accepted as a shared substring: with
+    64-bit hashes over non-adversarial text the collision odds per
+    comparison are ~2^-64 (same trust model as the winnowing candidate
+    stage). Operates on Unicode code points (same unit as the winnowing
+    kernel it verifies and as config.min_substring_len)."""
+    da = _codepoints(a)
+    db = _codepoints(b)
+    if not len(da) or not len(db):
         return 0
     ca, pa = _hash_prefix(da)
     cb, pb = _hash_prefix(db)

@@ -40,7 +40,8 @@ from lsh_apg_spark.functions.hashing import canonical_pair
 BUCKET_KEY = ["bhash"]
 
 
-def nonsingleton_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+def nonsingleton_buckets(buckets: DataFrame,
+                         cfg: DedupConfig | None = None) -> DataFrame:
     """(id, bhash) -> same rows + `_n` bucket size, with singleton
     buckets removed. One wide shuffle (the window's sorted count over
     16-byte rows). Measured alternatives both lose: collect_list over

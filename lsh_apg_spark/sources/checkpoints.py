@@ -41,16 +41,28 @@ class CheckpointStore:
     def exists(self, name: str) -> bool:
         """Stage is resumable iff data + sidecar exist AND the sidecar's
         config id matches the current config (the identical-config gate)."""
+        return self.status(name) == "ok"
+
+    def status(self, name: str) -> str:
+        """Three-way stage state — "ok" (resumable), "missing" (never
+        written / incomplete), or "mismatch" (data present but written
+        under a DIFFERENT config/schema version). Callers that hold
+        accumulated state (the incremental pipeline) must treat
+        "mismatch" as an error, not an empty start: silently taking the
+        cold-start path would overwrite the accumulated corpus with
+        just the current batch (ADVICE r2)."""
         side = self._sidecar(name)
         if not (os.path.exists(side)
                 and os.path.exists(os.path.join(self._path(name), "_SUCCESS"))):
-            return False
+            return "missing"
         try:
             with open(side) as f:
                 meta = json.load(f)
-            return meta.get("config_id") == self.cfg.config_id()
         except (json.JSONDecodeError, OSError):
-            return False
+            return "missing"
+        if meta.get("config_id") == self.cfg.config_id():
+            return "ok"
+        return "mismatch"
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))

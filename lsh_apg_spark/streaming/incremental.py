@@ -38,15 +38,37 @@ def dedup_increment(
     id_col: str = "url",
     text_col: str = "text",
     metrics: dict | None = None,
+    on_mismatch: str = "fail",
 ) -> DataFrame:
     """Process one batch of new pages; returns the refreshed
     (url, cluster_id) assignment over the whole corpus so far.
 
     ``metrics``, if given, receives cc_nodes/cc_edges — the size of the
     subgraph the batch actually re-clustered (bounded by TOUCHED
-    components + the new docs, not the accumulated corpus)."""
+    components + the new docs, not the accumulated corpus).
+
+    A store whose sidecars were written under a DIFFERENT config or
+    schema version is an ERROR by default (``on_mismatch="fail"``):
+    the cold-start path would overwrite the accumulated corpus state
+    with just this batch, and raw pages are not retained anywhere to
+    rebuild it — silent truncation, caught loudly instead (ADVICE r2).
+    Pass ``on_mismatch="reset"`` to explicitly discard the old state
+    and restart from this batch."""
     new_docs = new_pages.select(id_col, text_col).dropDuplicates([id_col])
 
+    state_status = store.status("docs")
+    if state_status == "mismatch":
+        if on_mismatch != "reset":
+            raise RuntimeError(
+                f"incremental store at {store.root} holds state written "
+                f"under config {store.lineage('docs').get('config_id')!r} "
+                f"but the current config is {store.cfg.config_id()!r}; "
+                "continuing would silently discard the accumulated corpus. "
+                "Re-run with the original config, or pass "
+                "on_mismatch='reset' to intentionally restart state from "
+                "this batch.")
+        for stage in ("docs", "signatures", "buckets", "edges", "clusters"):
+            store.invalidate(stage)
     have_state = store.exists("docs")
     if have_state:
         old_docs = store.read("docs")

@@ -83,3 +83,27 @@ def test_structured_streaming_drain(spark, corpus, tmp_path):
     q.awaitTermination(300)
     batch = run_dedup(spark, corpus, CFG, include_substring=False).clusters
     assert _assignments(store.read("clusters")) == _assignments(batch)
+
+
+def test_incremental_config_mismatch_fails_loudly(spark, corpus, tmp_path):
+    """A store written under a different config/schema version must
+    raise, not silently restart state with just the current batch
+    (ADVICE r2): raw pages are not retained anywhere, so the silent
+    path truncates the accumulated corpus unrecoverably. An explicit
+    on_mismatch='reset' opts into the restart."""
+    store = CheckpointStore(spark, str(tmp_path / "inc4"), CFG)
+    dedup_increment(spark, corpus.limit(40), store, CFG)
+
+    changed = DedupConfig(tau=0.9)
+    store2 = CheckpointStore(spark, str(tmp_path / "inc4"), changed)
+    assert store2.status("docs") == "mismatch"
+    with pytest.raises(RuntimeError, match="accumulated corpus"):
+        dedup_increment(spark, corpus.limit(80), store2, changed)
+    # old state is untouched by the refused batch
+    assert store.status("docs") == "ok"
+
+    # explicit reset: allowed, and state restarts from this batch only
+    out = dedup_increment(spark, corpus.limit(80), store2, changed,
+                          on_mismatch="reset")
+    assert out.count() == 80
+    assert store2.status("docs") == "ok"

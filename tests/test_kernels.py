@@ -115,3 +115,42 @@ def test_lcs_len_matches_difflib():
         want = sm.find_longest_match(0, len(a), 0, len(b)).size
         assert kernels.longest_common_substring_len(a, b) == want, (a, b)
 
+
+
+def test_lcs_len_is_in_chars_not_bytes():
+    """ADVICE r2: the LCS kernel must count CHARACTERS (the unit
+    config.min_substring_len documents), not UTF-8 bytes — on CJK/
+    accented text a byte count inflates lengths up to 4x, silently
+    loosening the substring threshold. Agreement with the exact char-
+    based difflib scan on randomized multi-byte text is the gate."""
+    import difflib
+    import random
+
+    span = "株式会社データ処理éèüß" * 6  # 72 chars, 3-byte-heavy
+    a = "前置きテキスト" + span
+    b = span + "後続テキスト"
+    got = kernels.longest_common_substring_len(a, b)
+    assert got == len(span), (got, len(span))
+
+    rng = random.Random(11)
+    alphabet = "語処理データéü日本 ab"
+    for _ in range(30):
+        x = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
+        y = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
+        sm = difflib.SequenceMatcher(None, x, y, autojunk=False)
+        want = sm.find_longest_match(0, len(x), 0, len(y)).size
+        assert kernels.longest_common_substring_len(x, y) == want, (x, y)
+
+
+def test_winnowing_guarantee_non_ascii():
+    """The winnowing guarantee (shared span >= t chars -> shared
+    fingerprint) must hold in CHARACTER units on multi-byte text."""
+    rng = random.Random(17)
+    kgram, window = 16, 35  # t = 50 CHARS
+    cjk = "語処理計算機科学研究 "
+    span = "".join(rng.choice(cjk) for _ in range(55))
+    a = "".join(rng.choice("qrstuvwx ") for _ in range(100)) + span
+    b = span + "".join(rng.choice("ijklmnop ") for _ in range(100))
+    fa = kernels.winnow_fingerprints(a, kgram, window)
+    fb = kernels.winnow_fingerprints(b, kgram, window)
+    assert np.intersect1d(fa, fb).size > 0

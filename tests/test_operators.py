@@ -291,6 +291,22 @@ def test_cosine_neardup_selective_at_high_threshold(spark):
     assert cands / (n * (n - 1) / 2) < 0.2, cands
 
 
+def test_cosine_neardup_explicit_dim_and_empty_input(spark, embeddings):
+    """ADVICE r2: an explicit dim must skip the driver-side probe job
+    and produce identical results; an empty input must yield an empty
+    pair frame instead of a TypeError from first()."""
+    with_dim = dedup.cosine_neardup_pairs(embeddings, 0.5, dim=32)
+    inferred = dedup.cosine_neardup_pairs(embeddings, 0.5)
+    assert sorted(map(tuple, with_dim.collect())) == \
+        sorted(map(tuple, inferred.collect()))
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    out = dedup.cosine_neardup_pairs(empty, 0.5)
+    assert out.count() == 0
+    assert out.columns == ["a", "b", "cosine"]
+
+
 def test_exact_dedup_matches_cc_variant(spark):
     docs = spark.createDataFrame(
         [(0, "a b c"), (1, "a b c"), (2, "x y"), (3, "x y"), (4, "solo"),
