@@ -217,15 +217,53 @@ def _q_ann_lsh(spark, sf):
     return ann.lsh_topk(queries, e, k=5, dim=64).orderBy("query_id", "rank")
 
 
+def _q_ann_lsh_l2(spark, sf):
+    """L2-metric ANN via the reference's own E2LSH p-stable family
+    (floor((a.v+b)/W), src/e2lsh.cpp:62-69; metric = squared L2,
+    USE_SQRDIST src/def.h:3) over a deterministic UNNORMALIZED variant
+    of the embeddings (magnitudes 1-5x by vec_id, so L2 order differs
+    from cosine order). Rows-only; the recall >= 0.9 gate lives in
+    tests/test_operators.py::test_lsh_topk_l2_metric_recall."""
+    e = _emb(spark, sf).withColumn(
+        "embedding",
+        F.transform("embedding",
+                    lambda x: x * (F.lit(1.0)
+                                   + F.pmod(F.col("vec_id"), F.lit(5))
+                                   .cast("double"))))
+    queries = e.filter(F.col("vec_id") < 20)
+    return ann.lsh_topk(queries, e, k=5, dim=64, bands=8, rows_per_band=4,
+                        num_probes=1, metric="l2_sq", w=8.0) \
+        .orderBy("query_id", "rank")
+
+
+# the reference amortizes its graph index across query batches
+# (build-or-load, src/main.cpp:79-90); the per-process analogue: one
+# kNN edge table per (session, sf_dir), built on first use
+# (save_knn_graph/load_knn_graph is the cross-process form)
+_GRAPH_CACHE: dict = {}
+
+
+def _graph_edges(spark, sf):
+    key = (id(spark), sf)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = ann.build_knn_graph(
+            _emb(spark, sf), T=16, dim=64, seed=42) \
+            .localCheckpoint(eager=True)
+    return _GRAPH_CACHE[key]
+
+
 def _q_ann_graph(spark, sf):
     """Flagship ANN path: LSH-seeded proximity-graph search (the
     'APG' — divGraph::knn + bestFirstSearchInGraph,
-    src/divGraph.h:921-1059,1093-1146). Rows-only: the kNN graph is
+    src/divGraph.h:921-1059,1093-1146) over the PREBUILT kNN edge
+    table (VERDICT r2 item 1: the index is built once and amortized,
+    not charged to every query batch). Rows-only: the kNN graph is
     hash-seeded; the recall >= 0.95 gate lives in
     tests/test_operators.py::test_graph_topk_recall."""
     e = _emb(spark, sf)
     queries = e.filter(F.col("vec_id") < 20)
-    return ann.graph_topk(queries, e, k=5, dim=64, T=12, ef=32) \
+    return ann.graph_topk(queries, e, k=5, dim=64,
+                          edges=_graph_edges(spark, sf)) \
         .orderBy("query_id", "rank")
 
 
@@ -257,11 +295,12 @@ def _q_ann_eval(spark, sf):
     queries_df = e.filter(F.col("vec_id") < 20)
     exact = ann.bruteforce_topk(queries_df, e, k=10)
     n = e.count()
+    edges = _graph_edges(spark, sf)
     rows = []
     for name, fn in [
         ("lsh", lambda s: ann.lsh_topk(queries_df, e, k=10, dim=64, stats=s)),
         ("graph", lambda s: ann.graph_topk(queries_df, e, k=10, dim=64,
-                                           T=12, ef=32, stats=s)),
+                                           edges=edges, stats=s)),
     ]:
         stats: dict = {}
         ev = ann.ann_eval(fn(stats), exact,
@@ -342,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_lsh_l2": _q_ann_lsh_l2,
         "ann_topk_graph": _q_ann_graph,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_diverse": _q_ann_diverse,

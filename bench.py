@@ -69,7 +69,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     names = [
         "bruteforce_jaccard_pairs", "exact_dedup", "minhash_lsh_pairs",
         "simhash_neardup", "ann_topk_bruteforce", "ann_topk_lsh",
-        "ann_topk_graph", "cosine_neardup",
+        "ann_topk_lsh_l2", "ann_topk_graph", "ann_topk_ivf",
+        "cosine_neardup",
         "token_stats", "lang_id", "pricing_summary", "revenue_by_nation",
     ]
     out = {}
@@ -80,27 +81,39 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_ann_eval(spark, sf_dir: str) -> dict:
-    """RECALL/RATIO/COST per ANN variant (the reference CSV's metric
-    triple, src/alg.h:122-130 — BASELINE.md's 0.9942/1.00016/0.0264
-    row) vs the exact brute-force top-k on the driver's embeddings."""
+def _eval_ann_corpus(spark, e, n_queries: int = 20, dim: int = 64,
+                     extra_variants: dict | None = None) -> dict:
+    """RECALL/RATIO/COST/wall per ANN variant (the reference CSV's
+    metric triple, src/alg.h:122-130 — BASELINE.md's
+    0.9942/1.00016/0.0264 row) vs exact brute-force top-k. The graph
+    variant queries a PREBUILT edge table; the one-time index build is
+    reported separately as graph_build_sec (the reference amortizes
+    its build the same way, src/main.cpp:79-90). graph_unseeded is the
+    knnHNSW ablation (entry-point seeding, src/divGraph.h:1061-1091)
+    — its recall gap vs `graph` is what the LSH seeding stage buys."""
     from pyspark.sql import functions as F
 
     from lsh_apg_spark.operators import ann
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .localCheckpoint(eager=True)
     n = e.count()
-    q = e.filter(F.col("vec_id") < 20)
+    q = e.filter(F.col("vec_id") < n_queries)
     exact = ann.bruteforce_topk(q, e, k=10).localCheckpoint(eager=True)
-    out = {}
+    t0 = time.monotonic()
+    edges = ann.build_knn_graph(e, T=16, dim=dim, seed=42) \
+        .localCheckpoint(eager=True)
+    build_sec = round(time.monotonic() - t0, 3)
+    out: dict = {"graph_build_sec": build_sec}
     variants = {
-        "lsh": lambda s: ann.lsh_topk(q, e, k=10, dim=64, stats=s),
-        "ivf": lambda s: ann.ivf_topk(q, e, k=10, n_cells=32, nprobe=8,
-                                      stats=s),
-        "graph": lambda s: ann.graph_topk(q, e, k=10, dim=64, T=12, ef=32,
-                                          stats=s),
+        "lsh": lambda s: ann.lsh_topk(q, e, k=10, dim=dim, stats=s),
+        "ivf": lambda s: ann.ivf_topk(q, e, k=10, stats=s),
+        "graph": lambda s: ann.graph_topk(q, e, k=10, dim=dim,
+                                          edges=edges, stats=s),
+        "graph_unseeded": lambda s: ann.graph_topk(
+            q, e, k=10, dim=dim, edges=edges, rounds=8,
+            seed_mode="entry", stats=s),
     }
+    for name, fn in (extra_variants or {}).items():
+        variants[name] = lambda s, _f=fn: _f(q, e, s)
     for name, fn in variants.items():
         stats: dict = {}
         t0 = time.monotonic()
@@ -110,8 +123,61 @@ def bench_ann_eval(spark, sf_dir: str) -> dict:
                           n_candidates=stats.get("n_candidates"),
                           corpus_size=n)
         ev["wall_sec"] = wall
+        if "n_pruned" in stats:
+            ev["n_pruned"] = stats["n_pruned"]
         out[name] = ev
     return out
+
+
+def bench_ann_eval(spark, sf_dir: str) -> dict:
+    """ANN metric triple on the driver's sf embeddings (near-random
+    vectors — the hardest selectivity regime)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .localCheckpoint(eager=True)
+    return _eval_ann_corpus(spark, e)
+
+
+def bench_ann_eval_clustered(spark, n_vecs: int = 20_000) -> dict:
+    """ANN metric triple on a deterministic CLUSTERED corpus (2000
+    centers x 10 members, 64-dim) — the regime the reference's
+    published row comes from (real datasets have neighbor structure;
+    dataset/ANN/LSH-G_div_result.csv:2 = recall 0.9942 at cost 0.026).
+    On the driver's near-random sf embeddings no method can be both
+    selective and accurate (scripts/tune_ann.py curves); this corpus
+    is where the engine's cost at recall >= 0.95 is expected to reach
+    the reference's regime — and where a 100 TB corpus (which always
+    has duplicate/near-dup structure) actually lives."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n_centers = n_vecs // 10
+    centers = rng.standard_normal((n_centers, 64))
+    vid = 0
+    rows = []
+    for c in range(n_centers):
+        for _ in range(10):
+            v = centers[c] + 0.15 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    e = spark.createDataFrame(pdf, "vec_id long, embedding array<float>") \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))) \
+        .localCheckpoint(eager=True)
+
+    # give LSH its corpus-calibrated best (deep bands) alongside the
+    # sf0.1-calibrated default, so the graph comparison is against the
+    # strongest bucket-only config, not a hobbled one: measured curve
+    # (scripts/tune_ann.py on this corpus) — (16,8,2) recall 0.988 @
+    # cost 0.188 is LSH's cheapest recall>=0.95 point; deeper bands
+    # plateau at recall ~0.91 no matter the cost
+    from lsh_apg_spark.operators import ann
+    extra = {
+        "lsh_calibrated": lambda q, e_, s: ann.lsh_topk(
+            q, e_, k=10, dim=64, bands=16, rows_per_band=8,
+            num_probes=2, stats=s),
+    }
+    return _eval_ann_corpus(spark, e, n_queries=50, extra_variants=extra)
 
 
 def _scaling_docs() -> int:
@@ -434,6 +500,7 @@ def main() -> None:
     queries = {"dedup_e2e": dedup_sec}
     queries.update(bench_queries(spark, sf_dir))
     ann_eval = bench_ann_eval(spark, sf_dir)
+    ann_eval_clustered = bench_ann_eval_clustered(spark)
 
     result = {
         "metric": "end_to_end_dedup_wall",
@@ -445,6 +512,7 @@ def main() -> None:
         "docs_per_sec": round(n / dedup_sec, 1),
         "cpus": cpus,
         "ann_eval": ann_eval,
+        "ann_eval_clustered": ann_eval_clustered,
     }
     if scaling:
         spark.stop()
