@@ -381,8 +381,8 @@ def graph_topk(
     dim: int,
     edges: DataFrame | None = None,
     T: int = 16,
-    ef: int = 48,
-    rounds: int = 3,
+    ef: int = 64,
+    rounds: int = 4,
     bands: int = 8,
     rows_per_band: int = 8,
     seed: int = 42,
@@ -416,7 +416,7 @@ def graph_topk(
     equi-join a bucketed-by-id corpus table serves without a shuffle.
 
     Knob roles (defaults calibrated on the driver's sf0.1 embeddings
-    via scripts/tune_ann.py — recall 0.955 at cost 0.32 vs pure LSH's
+    via scripts/tune_ann.py — recall 0.975 at cost 0.39 vs pure LSH's
     0.945 at 0.81): the SEED family (bands x rows_per_band) should be
     SELECTIVE (deep bands, r=8) — it only needs to land one good entry
     per query, the graph walk does the recall work; the BUILD family
@@ -527,21 +527,16 @@ def graph_topk(
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .dropDuplicates(["query_id", "neighbor_id"])
             .join(visited, ["query_id", "neighbor_id"], "left_anti")
-            .localCheckpoint(eager=True)
         )
-        n_new = expand.count()
-        if n_new == 0:
-            break
-        n_rounds += 1
-        # union of already-checkpointed frames: lineage stays O(rounds)
-        # shallow without paying another materialization job per round
-        visited = visited.unionByName(expand)
         if use_prune:
             # prune vs the current ef-th best (only once the result set
             # is full — the reference prunes vs the worst KEPT result,
             # src/divGraph.h:1118-1126): estimated cosine from sketch
             # Hamming must clear (threshold - margin). All JVM-side:
-            # xor + bit_count vs a per-query allowed-Hamming bound.
+            # xor + bit_count vs a per-query allowed-Hamming bound. The
+            # prune verdict is FOLDED into the expand frame as a flag so
+            # the round pays ONE materialization, not two (pruned rows
+            # must still be remembered: they are visited-but-unscored).
             thr = (
                 state.groupBy("query_id")
                 .agg(F.count(F.lit(1)).alias("_n"),
@@ -561,20 +556,32 @@ def graph_topk(
                                    / F.lit(float(np.pi))))
                     .otherwise(F.lit(64)))
             )
-            survivors = (
+            expand = (
                 expand.join(c_sk, "neighbor_id")
                 .join(F.broadcast(q_sk), "query_id")
                 .join(F.broadcast(thr), "query_id")
-                .filter(F.bit_count(F.col("_qsk").bitwiseXOR(F.col("_csk")))
-                        <= F.col("_hmax"))
-                .select("query_id", "neighbor_id")
-                .localCheckpoint(eager=True)
+                .withColumn(
+                    "_keep",
+                    F.bit_count(F.col("_qsk").bitwiseXOR(F.col("_csk")))
+                    <= F.col("_hmax"))
+                .select("query_id", "neighbor_id", "_keep")
             )
-            n_surv = survivors.count()
-            n_pruned += n_new - n_surv
         else:
-            survivors = expand
-            n_surv = n_new
+            expand = expand.withColumn("_keep", F.lit(True))
+        expand = expand.localCheckpoint(eager=True)
+        n_new = expand.count()
+        if n_new == 0:
+            break
+        n_rounds += 1
+        # union of already-checkpointed frames: lineage stays O(rounds)
+        # shallow without paying another materialization job per round
+        visited = visited.unionByName(
+            expand.select("query_id", "neighbor_id"))
+        survivors = expand.filter(F.col("_keep")).drop("_keep")
+        n_surv = survivors.count()  # cheap: parent is checkpointed
+        n_pruned += n_new - n_surv
+        if n_surv == 0:
+            continue
         n_scored += n_surv
         newly = score(survivors)
         state = top_ef(state.unionByName(newly)).localCheckpoint(eager=True)
@@ -751,6 +758,7 @@ def save_ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> None:
     """Persist an IVF index: the corpus written PARTITIONED BY cell
     (so a query's nprobe cells prune to nprobe/n_cells of the files —
@@ -761,8 +769,8 @@ def save_ivf_index(
     pruning replaces the hand-rolled binary deserialization."""
     centroids = train_ivf_centroids(
         corpus, n_cells, iters=iters, seed=seed,
-        id_col=id_col, vec_col=vec_col)
-    assign1 = _nearest_cells_udf(centroids, 1)
+        id_col=id_col, vec_col=vec_col, metric=metric)
+    assign1 = _nearest_cells_udf(centroids, 1, metric)
     (
         corpus.select(id_col, vec_col)
         .withColumn("cell", F.element_at(assign1(F.col(vec_col)), 1))
@@ -784,6 +792,7 @@ def ivf_index_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
     stats: dict | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index (save_ivf_index): probe the nprobe
@@ -794,7 +803,7 @@ def ivf_index_topk(
     cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     centroids = np.array([r["centroid"] for r in cents], dtype=np.float64)
     corpus = spark.read.parquet(f"{path}/corpus")
-    assign_n = _nearest_cells_udf(centroids, nprobe)
+    assign_n = _nearest_cells_udf(centroids, nprobe, metric)
     q = (
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
@@ -818,11 +827,10 @@ def ivf_index_topk(
                         F.col(vec_col).alias("_qv"))
     cv = pruned.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("_cv"))
-    pair_score = vectors.make_pair_score_udf("cosine")
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("score", pair_score(F.col("_qv"), F.col("_cv")))
+        .withColumn("score", _score_col(metric, F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id"))
