@@ -309,9 +309,17 @@ def run_parallelism_level(cpus: int, n_docs: int) -> dict:
            "--level", str(cpus), "--docs", str(n_docs)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    env = os.environ.copy()
+    # the 16g default heap (right-sized for GC behavior at <=800k docs
+    # — see session.py) OOMs at 1.6M docs' worth of stage checkpoints;
+    # scale the heap with the corpus, IDENTICALLY at both levels so the
+    # comparison stays fair (a real cluster sizes executor heaps to the
+    # data the same way)
+    if n_docs > 1_000_000:
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "40g")
     proc = subprocess.run(
         cmd,
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=3600, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     if proc.returncode != 0:
