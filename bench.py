@@ -221,9 +221,16 @@ def run_level_inprocess(cpus: int, n_docs: int) -> dict:
         active.stop()
     # 2-3 tasks per core is the standard straggler-smoothing ratio on
     # a real cluster (the session docstring's own advice); expose the
-    # multiplier so the scaling harness can A/B it
+    # multiplier so the scaling harness can A/B it. Partition count is
+    # ALSO floored by data size (~50k docs per shuffle partition ≈ a
+    # few hundred MB of wide signature rows): a fixed cores-only count
+    # crosses the per-partition spill threshold as the corpus grows —
+    # measured: the verify join took 60.9 s at 1.6M docs/16 partitions
+    # vs 7.8 s at 800k/16 (same bytes/partition as 1.6M/32). Sizing
+    # partitions to bytes, not cores, is exactly what
+    # spark.sql.files.maxPartitionBytes / AQE do on a real cluster.
     mult = int(os.environ.get("SPARK_GRAFT_PARTS_PER_CORE", "1"))
-    parts = max(8, cpus * mult)
+    parts = max(8, cpus * mult, n_docs // 50_000)
     spark = get_spark(f"bench_scaling_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=parts)
     try:
