@@ -93,6 +93,16 @@ def _q_ann_bruteforce(spark, sf):
     return ann.bruteforce_topk(queries, e, k=5).orderBy("query_id", "rank")
 
 
+def _q_ann_l1(spark, sf):
+    """Exact top-k under the L1 (Manhattan) kernel — §2.2 P12
+    (fvec_L1_avx512, src/distances_simd_avx512.h:29-40). Score is the
+    negated distance (higher = closer, shared top-k window)."""
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 20)
+    return ann.bruteforce_topk(queries, e, k=5, metric="l1") \
+        .orderBy("query_id", "rank")
+
+
 def _q_events_windowed(spark, sf):
     from lsh_apg_spark.operators.events import windowed_event_stats
     ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -380,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _q_cosine_neardup,
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
+        "ann_topk_l1": _q_ann_l1,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_lsh_l2": _q_ann_lsh_l2,
         "ann_topk_graph": _q_ann_graph,
@@ -558,6 +569,25 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        list_cosine_similarity(q.v, c.v) AS s
+                FROM q JOIN e c ON q.vec_id <> c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_topk_l1": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 20),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       -list_sum(list_transform(list_zip(q.v, c.v),
+                                                x -> abs(x[1] - x[2]))) AS s
                 FROM q JOIN e c ON q.vec_id <> c.vec_id
             ),
             ranked AS (

@@ -67,8 +67,12 @@ def make_pair_score_udf(metric: str = "cosine"):
     """(vec_a, vec_b) -> double, one numpy pass per Arrow batch.
 
     cosine: dot / (|a|*|b|); l2_sq: squared L2 (squared space end-to-
-    end like USE_SQRDIST, src/def.h:3). float64 accumulation so results
-    agree with any double-precision oracle to well past 4 decimals."""
+    end like USE_SQRDIST, src/def.h:3); l1 / linf: Manhattan and
+    Chebyshev (maps fvec_L1_avx512 / fvec_Linf_avx512,
+    src/distances_simd_avx512.h:29-40 — one numpy reduction per Arrow
+    batch is the Spark analogue of those SIMD loops). float64
+    accumulation so results agree with any double-precision oracle to
+    well past 4 decimals."""
 
     @F.pandas_udf(DoubleType())
     def score(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
@@ -82,6 +86,10 @@ def make_pair_score_udf(metric: str = "cosine"):
             elif metric == "l2_sq":
                 d = a - b
                 out = np.einsum("ij,ij->i", d, d)
+            elif metric == "l1":
+                out = np.abs(a - b).sum(axis=1)
+            elif metric == "linf":
+                out = np.abs(a - b).max(axis=1)
             else:
                 raise ValueError(f"unknown metric {metric!r}")
             yield pd.Series(out)

@@ -39,11 +39,14 @@ from lsh_apg_spark.functions import vectors
 
 def _score_col(metric: str, a, b):
     """Exact pair score, HIGHER = CLOSER for every metric: cosine
-    similarity, or negated squared L2 (the reference stays in squared
-    space end-to-end, USE_SQRDIST src/def.h:3 — negation just flips it
-    into 'descending = nearest' so every top-k window is shared)."""
-    pair_score = vectors.make_pair_score_udf(
-        "cosine" if metric == "cosine" else "l2_sq")
+    similarity, or negated distance for l2_sq (the reference stays in
+    squared space end-to-end, USE_SQRDIST src/def.h:3), l1, and linf
+    (fvec_L1/Linf_avx512, src/distances_simd_avx512.h:29-40) —
+    negation just flips 'descending = nearest' so every top-k window
+    is shared)."""
+    if metric not in ("cosine", "l2_sq", "l1", "linf"):
+        raise ValueError(f"unknown metric {metric!r}")
+    pair_score = vectors.make_pair_score_udf(metric)
     return pair_score(a, b) if metric == "cosine" else -pair_score(a, b)
 
 
@@ -451,12 +454,15 @@ def graph_topk(
 
     # a query colliding with nothing in any band still needs an entry
     # into the graph — the reference seeds such queries with point 0
-    # (src/divGraph.h:1040-1042); here: the min corpus id
-    entry_id = corpus.agg(F.min(id_col)).collect()[0][0]
+    # (src/divGraph.h:1040-1042); here: the min corpus id, as a 1-row
+    # broadcast frame folded into the seed job (a collect() here would
+    # be a full corpus scan fired per query batch)
+    entry = corpus.agg(F.min(id_col).alias("_eid"))
     if seed_mode == "entry":
         seed_pairs = (
             queries.select(F.col(id_col).alias("query_id"))
-            .withColumn("neighbor_id", F.lit(entry_id))
+            .crossJoin(F.broadcast(entry))
+            .select("query_id", F.col("_eid").alias("neighbor_id"))
             .filter(F.col("query_id") != F.col("neighbor_id"))
         )
     else:
@@ -475,7 +481,8 @@ def graph_topk(
             queries.select(F.col(id_col).alias("query_id"))
             .join(seed_pairs.select("query_id").distinct(), "query_id",
                   "left_anti")
-            .withColumn("neighbor_id", F.lit(entry_id))
+            .crossJoin(F.broadcast(entry))
+            .select("query_id", F.col("_eid").alias("neighbor_id"))
             .filter(F.col("query_id") != F.col("neighbor_id"))
         )
         seed_pairs = seed_pairs.unionByName(unseeded)
@@ -486,9 +493,12 @@ def graph_topk(
                        F.col(vec_col).alias("_cv"))
 
     def score(cands: DataFrame) -> DataFrame:
+        # broadcast the (query_id, neighbor_id, _qv) side — it is
+        # Q·ef-sized — so the corpus-sized vector table is probed
+        # in place and NEVER shuffled inside the search loop
         return (
-            cands.join(F.broadcast(qv), "query_id")
-            .join(cv, "neighbor_id")
+            cv.join(F.broadcast(cands.join(F.broadcast(qv), "query_id")),
+                    "neighbor_id")
             .select("query_id", "neighbor_id",
                     _score_col(metric, F.col("_qv"), F.col("_cv"))
                     .alias("score"))
@@ -505,8 +515,12 @@ def graph_topk(
     use_prune = prune_margin is not None and metric == "cosine"
     if use_prune:
         sk = make_sketch_udf(dim, seed + 9999)
+        # both sketch frames checkpoint ONCE so the pandas-UDF worker
+        # round-trip is paid outside the loop — every expansion round
+        # then runs pure-JVM (xor + bit_count)
         q_sk = queries.select(F.col(id_col).alias("query_id"),
-                              sk(F.col(vec_col)).alias("_qsk"))
+                              sk(F.col(vec_col)).alias("_qsk")) \
+            .localCheckpoint(eager=True)
         c_sk = corpus.select(F.col(id_col).alias("neighbor_id"),
                              sk(F.col(vec_col)).alias("_csk")) \
             .localCheckpoint(eager=True)
@@ -569,7 +583,13 @@ def graph_topk(
         else:
             expand = expand.withColumn("_keep", F.lit(True))
         expand = expand.localCheckpoint(eager=True)
-        n_new = expand.count()
+        # one agg job over the checkpointed frame gives both counters
+        # (vs the two separate .count() jobs this loop used to pay —
+        # per-round driver latency is the graph path's wall cost)
+        row = expand.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_keep").cast("long")).alias("_s")).collect()[0]
+        n_new, n_surv = row["_n"], row["_s"] or 0
         if n_new == 0:
             break
         n_rounds += 1
@@ -578,7 +598,6 @@ def graph_topk(
         visited = visited.unionByName(
             expand.select("query_id", "neighbor_id"))
         survivors = expand.filter(F.col("_keep")).drop("_keep")
-        n_surv = survivors.count()  # cheap: parent is checkpointed
         n_pruned += n_new - n_surv
         if n_surv == 0:
             continue

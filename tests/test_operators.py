@@ -45,6 +45,32 @@ def test_bruteforce_topk_finds_cluster_members(embeddings):
     assert same / len(rows) > 0.9
 
 
+def test_bruteforce_topk_l1_linf_match_numpy(embeddings):
+    """The L1/Linf kernels (§2.2 P12, fvec_L1/Linf_avx512,
+    src/distances_simd_avx512.h:29-40) must rank exactly like a
+    float64 numpy reference on the clustered fixture."""
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in embeddings.collect()}
+    q = embeddings.filter(F.col("vec_id") < 5)
+    for metric, dist in (
+        ("l1", lambda a, b: np.abs(a - b).sum()),
+        ("linf", lambda a, b: np.abs(a - b).max()),
+    ):
+        top = ann.bruteforce_topk(q, embeddings, k=5, metric=metric)
+        got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+               for r in top.collect()}
+        assert len(got) == 25
+        for qid in range(5):
+            exact = sorted(
+                ((dist(vecs[qid], v), nid) for nid, v in vecs.items()
+                 if nid != qid))
+            for rank in range(1, 6):
+                d, nid = exact[rank - 1]
+                got_nid, got_score = got[(qid, rank)]
+                assert got_nid == nid
+                assert abs(got_score - (-d)) < 1e-3
+
+
 def test_lsh_topk_recall(embeddings):
     """Approximate top-k recall >= 0.9 vs exact on clustered data —
     the reference's headline metric shape (recall at fixed config).
