@@ -198,6 +198,26 @@ def _q_minhash_lsh_pairs(spark, sf):
     )
 
 
+def _q_decontaminate(spark, sf):
+    """Cross-corpus decontamination: the documents table split into a
+    'train' corpus (doc_id % 7 != 0) and a small 'eval' reference set
+    (doc_id % 7 == 0); returns every cross-split pair with exact
+    shingle-Jaccard >= tau — the pairs a training run must drop so the
+    eval set stays held out. Oracle-checkable for the same reason as
+    minhash_lsh_pairs: full LSH recall at the frozen config on this
+    corpus, and every pair carries the exact Jaccard."""
+    from lsh_apg_spark.operators.decontaminate import decontaminate_pairs
+    docs = _docs(spark, sf)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    evals = docs.filter(F.col("doc_id") % 7 == 0)
+    return (
+        decontaminate_pairs(train, evals, CFG, id_col="doc_id")
+        .select("train_id", "eval_id",
+                F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("train_id", "eval_id")
+    )
+
+
 def _q_minhash_lsh_clusters(spark, sf):
     """Full pipeline -> (url, cluster_id). Oracle-checkable: cluster_id
     is the lexicographic min url of the connected component over the
@@ -388,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "substring_containment": _q_substring,
         "cosine_neardup": _q_cosine_neardup,
+        "decontaminate": _q_decontaminate,
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_l1": _q_ann_l1,
@@ -484,6 +505,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": shingles_cte + f"""
             SELECT a, b, round(jaccard, 4) AS jaccard
             FROM bf WHERE jaccard >= {CFG.tau} ORDER BY a, b
+        """,
+        "decontaminate": shingles_cte + f""",
+            xinter AS (
+                SELECT x.doc_id AS train_id, y.doc_id AS eval_id,
+                       count(*) AS i
+                FROM sh x JOIN sh y ON x.shingle = y.shingle
+                WHERE x.doc_id % 7 <> 0 AND y.doc_id % 7 = 0
+                GROUP BY 1, 2
+            ),
+            xbf AS (
+                SELECT train_id, eval_id,
+                       i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+                FROM xinter
+                JOIN sz sa ON sa.doc_id = train_id
+                JOIN sz sb ON sb.doc_id = eval_id
+            )
+            SELECT train_id, eval_id, round(jaccard, 4) AS jaccard
+            FROM xbf WHERE jaccard >= {CFG.tau}
+            ORDER BY train_id, eval_id
         """,
         "minhash_lsh_clusters": "WITH RECURSIVE " + _SHINGLES_CTE + f""",
             e AS (SELECT a, b FROM bf WHERE jaccard >= {CFG.tau}

@@ -1,0 +1,79 @@
+"""Cross-corpus decontamination (operators/decontaminate.py): known-
+answer gates on planted cross-split near-dups, plus the left_anti
+cleaning contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lsh_apg_spark.config import DedupConfig
+from lsh_apg_spark.operators.decontaminate import (
+    decontaminate, decontaminate_pairs,
+)
+
+
+def _corpus(spark):
+    """3 eval docs; train has: an exact copy of E0, a 1-word mutation
+    of E0 (Jaccard ~0.9 at 3-word shingles), and unrelated docs."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    mutated = base.replace("tok30", "changed")
+    other = " ".join(f"alt{i}" for i in range(60))
+    third = " ".join(f"third{i}" for i in range(60))
+    evals = spark.createDataFrame(
+        [("e0", base), ("e1", other), ("e2", third)], "url string, text string")
+    train = spark.createDataFrame(
+        [
+            ("t_copy", base),           # exact: jaccard 1.0 vs e0
+            ("t_near", mutated),        # near: ~0.9 vs e0
+            ("t_clean1", " ".join(f"clean{i}" for i in range(60))),
+            ("t_clean2", " ".join(f"fresh{i}" for i in range(60))),
+        ],
+        "url string, text string")
+    return train, evals
+
+
+def test_decontaminate_pairs_known_answer(spark):
+    train, evals = _corpus(spark)
+    cfg = DedupConfig()
+    got = {(r["train_id"], r["eval_id"]): r["jaccard"]
+           for r in decontaminate_pairs(train, evals, cfg).collect()}
+    assert set(got) == {("t_copy", "e0"), ("t_near", "e0")}
+    assert got[("t_copy", "e0")] == 1.0
+    assert 0.8 <= got[("t_near", "e0")] < 1.0
+
+
+def test_decontaminate_removes_only_flagged(spark):
+    train, evals = _corpus(spark)
+    clean = decontaminate(train, evals, DedupConfig())
+    assert sorted(r["url"] for r in clean.collect()) == \
+        ["t_clean1", "t_clean2"]
+    # schema passes through untouched
+    assert clean.columns == train.columns
+
+
+def test_decontaminate_reuses_prior_signatures(spark):
+    from lsh_apg_spark.operators.signatures import compute_signatures
+    train, evals = _corpus(spark)
+    cfg = DedupConfig()
+    sigs = compute_signatures(train, cfg).localCheckpoint(eager=True)
+    via_sigs = decontaminate_pairs(train, evals, cfg,
+                                   train_signatures=sigs)
+    direct = decontaminate_pairs(train, evals, cfg)
+    assert sorted(map(tuple, via_sigs.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_decontaminate_train_side_never_shuffles(spark):
+    """The 100 TB contract: every JOIN is a broadcast join (eval
+    buckets, the candidate set, and eval shingles broadcast; the train
+    corpus is probed in place on both of its touches). The only
+    non-broadcast exchange allowed is the candidate dedup's hash
+    aggregation — it repartitions the (rare, tiny) candidate pairs,
+    never the corpus."""
+    from lsh_apg_spark.plans import explain
+    train, evals = _corpus(spark)
+    plan = explain.simple_plan(decontaminate_pairs(
+        train, evals, DedupConfig()))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
