@@ -297,6 +297,27 @@ def _q_ann_graph(spark, sf):
         .orderBy("query_id", "rank")
 
 
+def _q_ann_graph_incr(spark, sf):
+    """Incremental index maintenance: the last 10% of the embeddings
+    arrive as a new batch and are INSERTED into the prebuilt graph
+    (ann.extend_knn_graph — batch form of divGraph::oneByOneInsert/
+    insertLSHRefine, src/divGraph.h:764-810,471-526), then the union
+    corpus is searched over the extended graph. Rows-only (hash-seeded
+    index); parity-vs-rebuild gated by
+    tests/test_operators.py::test_extend_knn_graph_matches_rebuild."""
+    e = _emb(spark, sf)
+    n = e.count()
+    cut = int(n * 0.9)
+    base = e.filter(F.col("vec_id") < cut)
+    new = e.filter(F.col("vec_id") >= cut)
+    base_edges = ann.build_knn_graph(base, T=16, dim=64, seed=42) \
+        .localCheckpoint(eager=True)
+    edges = ann.extend_knn_graph(base, base_edges, new, T=16, dim=64)
+    queries = e.filter(F.col("vec_id") < 20)
+    return ann.graph_topk(queries, e, k=5, dim=64, edges=edges) \
+        .orderBy("query_id", "rank")
+
+
 def _q_ann_ivf(spark, sf):
     """IVF-bucketed ANN (rows-only: learned quantizer, seeded)."""
     e = _emb(spark, sf)
@@ -415,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_lsh_l2": _q_ann_lsh_l2,
         "ann_topk_graph": _q_ann_graph,
+        "ann_graph_incr": _q_ann_graph_incr,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_diverse": _q_ann_diverse,
         "ann_eval_metrics": _q_ann_eval,

@@ -377,6 +377,75 @@ def load_knn_graph(spark, path: str) -> tuple[DataFrame, dict]:
     return edges, meta
 
 
+def extend_knn_graph(
+    corpus: DataFrame,
+    edges: DataFrame,
+    new_vecs: DataFrame,
+    T: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    w: float = 4.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Insert a batch of new vectors into an existing kNN graph WITHOUT
+    a full rebuild — the batch form of the reference's index
+    construction itself, which is incremental insertion:
+    divGraph::oneByOneInsert searches the current graph for each new
+    point's neighbors, connects both directions, and re-trims only the
+    touched adjacency lists (insertLSHRefine + reverse-edge insertion,
+    src/divGraph.h:764-810,471-526,512-520).
+
+    Spark recast: (1) each new vector finds its T nearest over the
+    EXISTING graph via the LSH-seeded search (`graph_topk` — search-
+    then-connect, like the reference); (2) new-new neighborhoods come
+    from an exact pass within the (small) batch — the batch analogue of
+    later inserts seeing earlier ones; (3) forward + reverse edges
+    merge into the edge table, and ONLY the touched src nodes re-run
+    the top-T cap window — untouched adjacency rows pass through
+    verbatim (same bounded-touch contract as the incremental dedup's
+    CC, streaming/incremental.py).
+
+    Returns the edge table for the union corpus. `corpus` is the
+    existing corpus (must match `edges`); `new_vecs` the batch of new
+    (id, vector) rows with ids disjoint from the corpus."""
+    nn = graph_topk(new_vecs, corpus, k=T, dim=dim, edges=edges,
+                    id_col=id_col, vec_col=vec_col, metric=metric, w=w,
+                    seed=seed)
+    fwd = nn.select(F.col("query_id").alias("src"),
+                    F.col("neighbor_id").alias("dst"), "score")
+    inner = bruteforce_topk(new_vecs, new_vecs, k=T, id_col=id_col,
+                            vec_col=vec_col, metric=metric) \
+        .select(F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"), "score")
+    new_edges = fwd.unionByName(inner)
+    new_edges = new_edges.unionByName(
+        new_edges.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"), "score"))
+
+    touched = new_edges.select("src").distinct()
+    merged = (
+        edges.select("src", "dst", "score")
+        .join(F.broadcast(touched), "src", "left_semi")
+        .unionByName(new_edges)
+        # max-score agg, not dropDuplicates: a rediscovered existing
+        # edge appears twice with different score rounding (search
+        # rounds to 4dp, the stored table to 6dp) — keep the result
+        # deterministic under any partitioning
+        .groupBy("src", "dst").agg(F.max("score").alias("score"))
+    )
+    w_ = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    recapped = (
+        merged.withColumn("_r", F.row_number().over(w_))
+        .filter(F.col("_r") <= T)
+        .select("src", "dst", F.round("score", 6).alias("score"))
+    )
+    untouched = edges.select("src", "dst", "score") \
+        .join(F.broadcast(touched), "src", "left_anti")
+    return untouched.unionByName(recapped)
+
+
 def graph_topk(
     queries: DataFrame,
     corpus: DataFrame,

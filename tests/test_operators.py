@@ -439,6 +439,46 @@ def test_graph_topk_l2_metric(unnorm_embeddings):
     assert rec >= 0.9, f"L2 graph recall {rec:.3f}"
 
 
+def test_extend_knn_graph_matches_rebuild(embeddings):
+    """Incremental graph insertion (extend_knn_graph — the batch form
+    of divGraph::oneByOneInsert/insertLSHRefine,
+    src/divGraph.h:764-810,471-526): inserting a held-out batch into a
+    prebuilt graph must (a) leave untouched adjacency rows byte-
+    identical, (b) respect the degree cap, and (c) search the union
+    corpus at recall within 0.05 of a full rebuild."""
+    base = embeddings.filter(F.col("vec_id") < 350) \
+        .localCheckpoint(eager=True)
+    new = embeddings.filter(F.col("vec_id") >= 350) \
+        .localCheckpoint(eager=True)
+    T = 8
+    e_base = ann.build_knn_graph(base, T=T, dim=32, seed=42) \
+        .localCheckpoint(eager=True)
+    extended = ann.extend_knn_graph(base, e_base, new, T=T, dim=32) \
+        .localCheckpoint(eager=True)
+
+    touched = {r["src"] for r in
+               extended.join(e_base, ["src", "dst", "score"], "left_anti")
+               .select("src").distinct().collect()}
+    before = {(r["src"], r["dst"], r["score"])
+              for r in e_base.collect() if r["src"] not in touched}
+    after = {(r["src"], r["dst"], r["score"])
+             for r in extended.collect() if r["src"] not in touched}
+    assert before == after  # untouched rows verbatim
+
+    deg = extended.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert deg <= T
+
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(q, embeddings, k=5)
+    rebuilt = ann.build_knn_graph(embeddings, T=T, dim=32, seed=42)
+    r_ext = ann.ann_recall(
+        ann.graph_topk(q, embeddings, k=5, dim=32, edges=extended), exact)
+    r_full = ann.ann_recall(
+        ann.graph_topk(q, embeddings, k=5, dim=32, edges=rebuilt), exact)
+    assert r_ext >= r_full - 0.05, (r_ext, r_full)
+    assert r_ext >= 0.9, r_ext
+
+
 def test_save_load_knn_graph_roundtrip(embeddings, tmp_path):
     """Graph index persistence (maps divGraph::save/load ctor,
     src/divGraph.h:1336-1388,249-357): the loaded edge table is
