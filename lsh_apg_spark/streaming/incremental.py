@@ -39,13 +39,22 @@ def dedup_increment(
     text_col: str = "text",
     metrics: dict | None = None,
     on_mismatch: str = "fail",
+    eval_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Process one batch of new pages; returns the refreshed
     (url, cluster_id) assignment over the whole corpus so far.
 
     ``metrics``, if given, receives cc_nodes/cc_edges — the size of the
     subgraph the batch actually re-clustered (bounded by TOUCHED
-    components + the new docs, not the accumulated corpus).
+    components + the new docs, not the accumulated corpus) — plus
+    contaminated_dropped when ``eval_docs`` is set.
+
+    ``eval_docs``: optional held-out reference set (benchmark/eval
+    documents). New docs whose shingle-Jaccard with any eval doc
+    reaches cfg.tau are DROPPED at ingest (operators/decontaminate.py
+    — the signatures computed for insertion are reused, so the check
+    adds only the broadcast eval probe), and never enter the corpus
+    state: decontamination-at-ingest for a training pipeline.
 
     A store whose sidecars were written under a DIFFERENT config or
     schema version is an ERROR by default (``on_mismatch="fail"``):
@@ -80,6 +89,19 @@ def dedup_increment(
         old_docs = None
 
     new_sigs = compute_signatures(new_docs, cfg, id_col, text_col)
+
+    if eval_docs is not None:
+        from lsh_apg_spark.operators.decontaminate import decontaminate_pairs
+        flagged = decontaminate_pairs(
+            new_docs, eval_docs, cfg, id_col=id_col, text_col=text_col,
+            train_signatures=new_sigs,
+        ).select(F.col("train_id").alias(id_col)).distinct() \
+            .localCheckpoint(eager=True)
+        if metrics is not None:
+            metrics["contaminated_dropped"] = flagged.count()
+        new_docs = new_docs.join(F.broadcast(flagged), id_col, "left_anti")
+        new_sigs = new_sigs.join(F.broadcast(flagged), id_col, "left_anti")
+
     new_buckets = explode_buckets(new_sigs, cfg, id_col)
 
     if have_state:

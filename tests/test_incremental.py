@@ -85,6 +85,30 @@ def test_structured_streaming_drain(spark, corpus, tmp_path):
     assert _assignments(store.read("clusters")) == _assignments(batch)
 
 
+def test_incremental_decontaminates_at_ingest(spark, tmp_path):
+    """With eval_docs set, a new doc near-matching the eval set is
+    dropped BEFORE entering corpus state: absent from the assignment
+    AND from the persisted docs table; clean docs are unaffected."""
+    base = " ".join(f"bench{i}" for i in range(60))
+    evals = spark.createDataFrame([("e0", base)], "url string, text string")
+    batch = spark.createDataFrame(
+        [
+            ("p_dirty", base.replace("bench30", "x")),   # ~0.9 jaccard
+            ("p_clean1", " ".join(f"doc{i}" for i in range(60))),
+            ("p_clean2", " ".join(f"page{i}" for i in range(60))),
+        ],
+        "url string, text string")
+    store = CheckpointStore(spark, str(tmp_path / "inc5"), CFG)
+    metrics: dict = {}
+    out = dedup_increment(spark, batch, store, CFG, metrics=metrics,
+                          eval_docs=evals)
+    urls = {r["url"] for r in out.collect()}
+    assert urls == {"p_clean1", "p_clean2"}
+    assert metrics["contaminated_dropped"] == 1
+    stored = {r["url"] for r in store.read("docs").collect()}
+    assert "p_dirty" not in stored
+
+
 def test_incremental_config_mismatch_fails_loudly(spark, corpus, tmp_path):
     """A store written under a different config/schema version must
     raise, not silently restart state with just the current batch
