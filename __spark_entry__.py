@@ -271,6 +271,7 @@ def _q_ann_lsh_l2(spark, sf):
 # kNN edge table per (session, sf_dir), built on first use
 # (save_knn_graph/load_knn_graph is the cross-process form)
 _GRAPH_CACHE: dict = {}
+_INCR_CACHE: dict = {}
 
 
 def _graph_edges(spark, sf):
@@ -297,6 +298,22 @@ def _q_ann_graph(spark, sf):
         .orderBy("query_id", "rank")
 
 
+def _base_graph_split(spark, sf):
+    """One 90/10 split + base-graph build per (session, sf) — mirrors
+    _graph_edges' amortization (VERDICT r3 item 7: the query entry used
+    to rebuild the base index and fire an e.count() on every
+    invocation)."""
+    key = (id(spark), sf)
+    if key not in _INCR_CACHE:
+        e = _emb(spark, sf)
+        cut = int(e.count() * 0.9)
+        base = e.filter(F.col("vec_id") < cut)
+        base_edges = ann.build_knn_graph(base, T=16, dim=64, seed=42) \
+            .localCheckpoint(eager=True)
+        _INCR_CACHE[key] = (cut, base_edges)
+    return _INCR_CACHE[key]
+
+
 def _q_ann_graph_incr(spark, sf):
     """Incremental index maintenance: the last 10% of the embeddings
     arrive as a new batch and are INSERTED into the prebuilt graph
@@ -306,12 +323,9 @@ def _q_ann_graph_incr(spark, sf):
     index); parity-vs-rebuild gated by
     tests/test_operators.py::test_extend_knn_graph_matches_rebuild."""
     e = _emb(spark, sf)
-    n = e.count()
-    cut = int(n * 0.9)
+    cut, base_edges = _base_graph_split(spark, sf)
     base = e.filter(F.col("vec_id") < cut)
     new = e.filter(F.col("vec_id") >= cut)
-    base_edges = ann.build_knn_graph(base, T=16, dim=64, seed=42) \
-        .localCheckpoint(eager=True)
     edges = ann.extend_knn_graph(base, base_edges, new, T=16, dim=64)
     queries = e.filter(F.col("vec_id") < 20)
     return ann.graph_topk(queries, e, k=5, dim=64, edges=edges) \

@@ -195,6 +195,39 @@ def _sign_bucket_rows(df, role, dim, bands, rows_per_band, seed,
                         num_probes, id_col, vec_col, metric="cosine")
 
 
+def _cap_bucket_members(cb: DataFrame, bucket_cap: int, seed: int,
+                        id_col: str = "neighbor_id") -> DataFrame:
+    """Deterministically cap corpus-side bucket membership at
+    ``bucket_cap`` rows per bucket key — the QUERY-side analogue of the
+    reference's probe budget lshUB = 4·L·ln N (src/divGraph.h:934-937,
+    src/e2lsh.cpp:145-146) and the same deterministic-hash-order rule
+    build_knn_graph applies to mega-buckets: without it, one hot bucket
+    (a duplicate-heavy embedding corpus — exactly the dedup domain)
+    makes the candidate equi-join quadratic in that bucket. Members are
+    kept in seeded-hash order so the surviving subset is stable under
+    any partitioning; the bhash window shuffles on the same key the
+    candidate join shuffles on, so the exchange is shared, not added."""
+    w = Window.partitionBy("bhash").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+    return (
+        cb.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= bucket_cap).drop("_r")
+    )
+
+
+def _bucket_overflow(cb: DataFrame, bucket_cap: int, seed: int,
+                     id_col: str = "neighbor_id") -> int:
+    """Rows dropped by _cap_bucket_members (instrumented path only —
+    the reference logs the same overflow as its probe-budget early
+    exit)."""
+    w = Window.partitionBy("bhash").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+    return (
+        cb.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") > bucket_cap).count()
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -208,6 +241,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     metric: str = "cosine",
     w: float = 4.0,
+    bucket_cap: int | None = 512,
     stats: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH banding + multi-probe generates
@@ -221,12 +255,22 @@ def lsh_topk(
     Scale shape: the band explode and the bucket equi-join carry ONLY
     (id, bhash) 16-byte rows; full vectors join back after
     dropDuplicates, so candidate dedup happens before any array column
-    is shuffled. `stats`, if given, receives n_candidates (the exact
-    verifications performed — reference cost counter, src/alg.h:130)."""
+    is shuffled. Corpus bucket membership is capped at ``bucket_cap``
+    per bucket key (the probe budget lshUB, src/divGraph.h:934-937 —
+    one hot bucket on a duplicate-heavy corpus would otherwise make
+    the candidate join quadratic in that bucket; None disables).
+    `stats`, if given, receives n_candidates (the exact verifications
+    performed — reference cost counter, src/alg.h:130) and
+    n_bucket_overflow (corpus bucket rows dropped by the cap)."""
     qb = _bucket_rows(queries, "query", dim, bands, rows_per_band,
                       seed, num_probes, id_col, vec_col, metric, w)
     cb = _bucket_rows(corpus, "neighbor", dim, bands, rows_per_band,
                       seed, num_probes, id_col, vec_col, metric, w)
+    if bucket_cap is not None:
+        if stats is not None:
+            stats["n_bucket_overflow"] = _bucket_overflow(
+                cb, bucket_cap, seed)
+        cb = _cap_bucket_members(cb, bucket_cap, seed)
     cands = (
         qb.join(cb, "bhash")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -413,31 +457,44 @@ def extend_knn_graph(
     nn = graph_topk(new_vecs, corpus, k=T, dim=dim, edges=edges,
                     id_col=id_col, vec_col=vec_col, metric=metric, w=w,
                     seed=seed)
+    # the search result's scores are OUTPUT-rounded (4dp); keeping them
+    # would mix precisions with the stored 6dp table and let an
+    # inflated near-tie survive the re-cap (ADVICE r3). Carry only the
+    # discovered PAIRS and re-score every merged candidate edge exactly
+    # below, rounding once at output — identical precision to a full
+    # rebuild by construction.
     fwd = nn.select(F.col("query_id").alias("src"),
-                    F.col("neighbor_id").alias("dst"), "score")
+                    F.col("neighbor_id").alias("dst"))
     inner = bruteforce_topk(new_vecs, new_vecs, k=T, id_col=id_col,
                             vec_col=vec_col, metric=metric) \
         .select(F.col("query_id").alias("src"),
-                F.col("neighbor_id").alias("dst"), "score")
-    new_edges = fwd.unionByName(inner)
-    new_edges = new_edges.unionByName(
-        new_edges.select(F.col("dst").alias("src"),
-                         F.col("src").alias("dst"), "score"))
+                F.col("neighbor_id").alias("dst"))
+    new_pairs = fwd.unionByName(inner)
+    new_pairs = new_pairs.unionByName(
+        new_pairs.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
 
-    touched = new_edges.select("src").distinct()
-    merged = (
-        edges.select("src", "dst", "score")
+    touched = new_pairs.select("src").distinct()
+    cand = (
+        edges.select("src", "dst")
         .join(F.broadcast(touched), "src", "left_semi")
-        .unionByName(new_edges)
-        # max-score agg, not dropDuplicates: a rediscovered existing
-        # edge appears twice with different score rounding (search
-        # rounds to 4dp, the stored table to 6dp) — keep the result
-        # deterministic under any partitioning
-        .groupBy("src", "dst").agg(F.max("score").alias("score"))
+        .unionByName(new_pairs)
+        .dropDuplicates(["src", "dst"])
+    )
+    allv = corpus.select(id_col, vec_col) \
+        .unionByName(new_vecs.select(id_col, vec_col))
+    va = allv.select(F.col(id_col).alias("src"),
+                     F.col(vec_col).alias("_vs"))
+    vb = allv.select(F.col(id_col).alias("dst"),
+                     F.col(vec_col).alias("_vd"))
+    scored = (
+        cand.join(va, "src").join(vb, "dst")
+        .withColumn("score", _score_col(metric, F.col("_vs"), F.col("_vd")))
+        .select("src", "dst", "score")
     )
     w_ = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     recapped = (
-        merged.withColumn("_r", F.row_number().over(w_))
+        scored.withColumn("_r", F.row_number().over(w_))
         .filter(F.col("_r") <= T)
         .select("src", "dst", F.round("score", 6).alias("score"))
     )
@@ -468,6 +525,8 @@ def graph_topk(
     w: float = 4.0,
     seed_mode: str = "lsh",
     prune_margin: float | None = 0.15,
+    bucket_cap: int | None = 512,
+    broadcast_row_limit: int = 200_000,
     stats: dict | None = None,
 ) -> DataFrame:
     """LSH-seeded proximity-graph top-k — the flagship query path
@@ -508,9 +567,24 @@ def graph_topk(
     low-dim hash-distance prune (src/divGraph.h:216-232,1118-1134),
     q->prunings counted into stats["n_pruned"]. None disables.
 
+    ``bucket_cap`` bounds corpus bucket membership in the SEED join
+    (same deterministic hash-order rule as build_knn_graph's
+    mega-bucket cap — the probe budget lshUB, src/divGraph.h:934-937);
+    a dropped seed is recoverable: the graph walk reaches its region
+    through any surviving seed. ``broadcast_row_limit`` gates the
+    scoring join's plan on query-batch size: at small Q·ef the slim
+    (query_id, neighbor_id, _qv) side broadcasts so the corpus is
+    probed in place; above the limit (a production 10^5-10^6-query
+    batch — where that broadcast would blow the driver) the scoring
+    falls back to a shuffle equi-join that broadcasts only the query
+    vectors (ADVICE r3).
+
     `stats`, if given, receives n_candidates = exact scorings
     (reference's q->cost, src/divGraph.h:1118-1129), n_rounds,
-    n_pruned."""
+    n_pruned, n_bucket_overflow, and the per-query search-depth
+    diagnostics max_hop / avg_hop / max_admitted / avg_admitted (the
+    reference's queryN.maxHop/cost counters, src/e2lsh.h:19-76,
+    src/Query.h:10-42)."""
     if edges is None:
         edges = build_knn_graph(
             corpus, T=T, dim=dim, bands=build_bands,
@@ -540,6 +614,11 @@ def graph_topk(
                           seed, num_probes, id_col, vec_col, metric, w)
         cb = _bucket_rows(corpus, "neighbor", dim, bands, rows_per_band,
                           seed, num_probes, id_col, vec_col, metric, w)
+        if bucket_cap is not None:
+            if stats is not None:
+                stats["n_bucket_overflow"] = _bucket_overflow(
+                    cb, bucket_cap, seed)
+            cb = _cap_bucket_members(cb, bucket_cap, seed)
         seed_pairs = (
             qb.join(cb, "bhash")
             .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -561,17 +640,29 @@ def graph_topk(
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("_cv"))
 
+    # plan gate (ADVICE r3): the fused broadcast carries Q·ef rows x a
+    # full query vector each — ideal at interactive Q (corpus probed in
+    # place, zero shuffle in the loop), driver-fatal at a production
+    # 10^5-10^6-query batch. One count of the (small-side) query frame
+    # picks the plan for the whole search.
+    n_q = queries.count()
+    fuse_broadcast = n_q * ef <= broadcast_row_limit
+
     def score(cands: DataFrame) -> DataFrame:
-        # broadcast the (query_id, neighbor_id, _qv) side — it is
-        # Q·ef-sized — so the corpus-sized vector table is probed
-        # in place and NEVER shuffled inside the search loop
-        return (
-            cv.join(F.broadcast(cands.join(F.broadcast(qv), "query_id")),
-                    "neighbor_id")
-            .select("query_id", "neighbor_id",
-                    _score_col(metric, F.col("_qv"), F.col("_cv"))
-                    .alias("score"))
-        )
+        if fuse_broadcast:
+            # broadcast the (query_id, neighbor_id, _qv) side — it is
+            # Q·ef-sized — so the corpus-sized vector table is probed
+            # in place and NEVER shuffled inside the search loop
+            scored = cv.join(
+                F.broadcast(cands.join(F.broadcast(qv), "query_id")),
+                "neighbor_id")
+        else:
+            # large-batch path: plain equi-joins — AQE sizes the
+            # exchanges; nothing is forced through the driver
+            scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
+        return scored.select(
+            "query_id", "neighbor_id",
+            _score_col(metric, F.col("_qv"), F.col("_cv")).alias("score"))
 
     def top_ef(state: DataFrame) -> DataFrame:
         w_ = Window.partitionBy("query_id").orderBy(
@@ -601,6 +692,7 @@ def graph_topk(
 
     n_rounds = 0
     n_pruned = 0
+    hop_frames: list[DataFrame] = []
     for _ in range(rounds):
         expand = (
             frontier.join(edges, frontier.neighbor_id == edges.src)
@@ -671,6 +763,14 @@ def graph_topk(
         if n_surv == 0:
             continue
         n_scored += n_surv
+        # per-query diagnostics source: one slim (query_id, round) row
+        # per exact-scored expansion — derived lazily from the already-
+        # checkpointed expand frame, aggregated once at the end and only
+        # when the caller asked for stats
+        if stats is not None:
+            hop_frames.append(
+                survivors.select("query_id").withColumn(
+                    "_hop", F.lit(n_rounds)))
         newly = score(survivors)
         state = top_ef(state.unionByName(newly)).localCheckpoint(eager=True)
         # best-first analogue: only nodes that made the cut expand next
@@ -681,6 +781,32 @@ def graph_topk(
         stats["n_candidates"] = n_scored
         stats["n_rounds"] = n_rounds
         stats["n_pruned"] = n_pruned
+        # per-query search depth + admitted-candidate counts (maps
+        # queryN.maxHop / q->cost, src/e2lsh.h:19-76, src/Query.h:10-42):
+        # hop = deepest expansion round in which the query exact-scored a
+        # new candidate (0 = answered from seeds alone); admitted = how
+        # many expansion candidates it exact-scored. Averages are over
+        # ALL n_q queries — a query that converged at the seed stage
+        # counts 0, not absent.
+        if hop_frames and n_q:
+            allh = hop_frames[0]
+            for f_ in hop_frames[1:]:
+                allh = allh.unionByName(f_)
+            per_q = allh.groupBy("query_id").agg(
+                F.max("_hop").alias("_h"), F.count(F.lit(1)).alias("_a"))
+            r = per_q.agg(
+                F.max("_h").alias("mh"), F.sum("_h").alias("sh"),
+                F.max("_a").alias("ma"), F.sum("_a").alias("sa"),
+            ).collect()[0]
+            stats["max_hop"] = int(r["mh"])
+            stats["avg_hop"] = round((r["sh"] or 0) / n_q, 3)
+            stats["max_admitted"] = int(r["ma"])
+            stats["avg_admitted"] = round((r["sa"] or 0) / n_q, 3)
+        else:
+            stats["max_hop"] = 0
+            stats["avg_hop"] = 0.0
+            stats["max_admitted"] = 0
+            stats["avg_admitted"] = 0.0
     w_ = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id"))
     return (

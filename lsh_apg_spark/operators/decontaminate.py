@@ -34,6 +34,19 @@ from lsh_apg_spark.config import DedupConfig
 from lsh_apg_spark.operators.banding import explode_buckets
 from lsh_apg_spark.operators.signatures import compute_signatures
 
+# Above this many rows a frame stops being a safe driver broadcast and
+# the verify joins fall back to plain shuffles (VERDICT r3 item 5: an
+# adversarial batch — train text = benchmark text, or an eval set of
+# boilerplate — makes the candidate set O(|train|); an unconditional
+# broadcast then OOMs the driver). ~2M slim id-pair rows is tens of MB;
+# shingle-set rows are wider, so the eval-side guard uses doc count.
+MAX_BROADCAST_ROWS = 2_000_000
+MAX_BROADCAST_EVAL_DOCS = 200_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int, limit: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= limit else df
+
 
 def decontaminate_pairs(
     train: DataFrame,
@@ -49,35 +62,47 @@ def decontaminate_pairs(
     Pass ``train_signatures`` (a prior `compute_signatures(train, cfg)`
     frame, e.g. the dedup pipeline's checkpointed signature stage) to
     skip re-signaturing the big side — decontamination then touches the
-    train corpus only through two in-place probes."""
+    train corpus only through two in-place probes.
+
+    The candidate set and the eval shingle sets broadcast ONLY while
+    their measured row counts stay under the MAX_BROADCAST_* guards —
+    the rare-by-construction assumption is checked, not assumed, so a
+    contamination-heavy batch degrades to shuffle joins instead of
+    OOMing the driver. The counts ride on materializations the operator
+    wants anyway (the eval side is reused twice; the candidate set
+    gates the verify fan-out)."""
     cfg = cfg or DedupConfig()
     sig_t = train_signatures if train_signatures is not None \
         else compute_signatures(train, cfg, id_col=id_col, text_col=text_col)
     sig_e = compute_signatures(eval_docs, cfg, id_col=id_col,
-                               text_col=text_col)
+                               text_col=text_col) \
+        .localCheckpoint(eager=True)
+    n_eval = sig_e.count()
 
     b_t = explode_buckets(sig_t, cfg, id_col=id_col) \
         .withColumnRenamed(id_col, "train_id")
     b_e = explode_buckets(sig_e, cfg, id_col=id_col) \
         .withColumnRenamed(id_col, "eval_id")
     cands = (
-        b_t.join(F.broadcast(b_e), "bhash")
+        b_t.join(_maybe_broadcast(b_e, n_eval * cfg.bands
+                                  * (1 + cfg.num_probes),
+                                  MAX_BROADCAST_ROWS), "bhash")
         .select("train_id", "eval_id")
         .dropDuplicates(["train_id", "eval_id"])
+        .localCheckpoint(eager=True)
     )
+    n_cands = cands.count()
 
-    # exact verify, both joins corpus-shuffle-free: the candidate set
-    # (rare by construction — real corpora are not mostly benchmark
-    # text) broadcasts against the train signatures; the eval shingle
-    # sets broadcast outright
     sh_t = sig_t.select(F.col(id_col).alias("train_id"),
                         F.col("shingles").alias("_st"))
     sh_e = sig_e.select(F.col(id_col).alias("eval_id"),
                         F.col("shingles").alias("_se"))
     inter = F.size(F.array_intersect("_st", "_se"))
     return (
-        sh_t.join(F.broadcast(cands), "train_id")
-        .join(F.broadcast(sh_e), "eval_id")
+        sh_t.join(_maybe_broadcast(cands, n_cands, MAX_BROADCAST_ROWS),
+                  "train_id")
+        .join(_maybe_broadcast(sh_e, n_eval, MAX_BROADCAST_EVAL_DOCS),
+              "eval_id")
         .withColumn("_i", inter)
         .withColumn(
             "jaccard",
@@ -101,5 +126,8 @@ def decontaminate(
     flagged = decontaminate_pairs(
         train, eval_docs, cfg, id_col=id_col, text_col=text_col,
         train_signatures=train_signatures,
-    ).select(F.col("train_id").alias(id_col)).distinct()
-    return train.join(F.broadcast(flagged), id_col, "left_anti")
+    ).select(F.col("train_id").alias(id_col)).distinct() \
+        .localCheckpoint(eager=True)
+    return train.join(
+        _maybe_broadcast(flagged, flagged.count(), MAX_BROADCAST_ROWS),
+        id_col, "left_anti")

@@ -91,16 +91,24 @@ def dedup_increment(
     new_sigs = compute_signatures(new_docs, cfg, id_col, text_col)
 
     if eval_docs is not None:
-        from lsh_apg_spark.operators.decontaminate import decontaminate_pairs
+        from lsh_apg_spark.operators.decontaminate import (
+            MAX_BROADCAST_ROWS, _maybe_broadcast, decontaminate_pairs,
+        )
         flagged = decontaminate_pairs(
             new_docs, eval_docs, cfg, id_col=id_col, text_col=text_col,
             train_signatures=new_sigs,
         ).select(F.col("train_id").alias(id_col)).distinct() \
             .localCheckpoint(eager=True)
+        # measured count gates the broadcast (VERDICT r3 item 5): a
+        # batch that is mostly benchmark text flags O(|batch|) ids —
+        # above the guard the anti-joins run as shuffles instead of
+        # OOMing the driver
+        n_flagged = flagged.count()
         if metrics is not None:
-            metrics["contaminated_dropped"] = flagged.count()
-        new_docs = new_docs.join(F.broadcast(flagged), id_col, "left_anti")
-        new_sigs = new_sigs.join(F.broadcast(flagged), id_col, "left_anti")
+            metrics["contaminated_dropped"] = n_flagged
+        fl = _maybe_broadcast(flagged, n_flagged, MAX_BROADCAST_ROWS)
+        new_docs = new_docs.join(fl, id_col, "left_anti")
+        new_sigs = new_sigs.join(fl, id_col, "left_anti")
 
     new_buckets = explode_buckets(new_sigs, cfg, id_col)
 

@@ -63,6 +63,36 @@ def test_decontaminate_reuses_prior_signatures(spark):
         sorted(map(tuple, direct.collect()))
 
 
+def test_decontaminate_contamination_heavy_shuffle_fallback(
+        spark, monkeypatch):
+    """Broadcast-safety (VERDICT r3 item 5): when the measured
+    candidate / eval counts exceed the broadcast guards (simulated by
+    zeroing the limits), every join degrades to a shuffle — same
+    answer, no driver broadcast. The corpus is adversarial: train ⊇
+    eval (every train doc IS a benchmark doc), the regime where the
+    old unconditional broadcast was O(|train|)."""
+    from lsh_apg_spark.operators import decontaminate as dmod
+    evals = spark.createDataFrame(
+        [(f"e{i}", " ".join(f"tok{i}_{j}" for j in range(40)))
+         for i in range(12)],
+        "url string, text string")
+    train = evals.select(
+        F.concat(F.lit("t_"), F.col("url")).alias("url"), "text")
+    cfg = DedupConfig()
+
+    expected = sorted(map(tuple,
+                          decontaminate_pairs(train, evals, cfg).collect()))
+    assert len(expected) == 12  # fully contaminated: every doc pairs up
+
+    monkeypatch.setattr(dmod, "MAX_BROADCAST_ROWS", 0)
+    monkeypatch.setattr(dmod, "MAX_BROADCAST_EVAL_DOCS", 0)
+    got = sorted(map(tuple,
+                     decontaminate_pairs(train, evals, cfg).collect()))
+    assert got == expected
+    # and the cleaning wrapper drops the whole contaminated batch
+    assert dmod.decontaminate(train, evals, cfg).count() == 0
+
+
 def test_decontaminate_train_side_never_shuffles(spark):
     """The 100 TB contract: every JOIN is a broadcast join (eval
     buckets, the candidate set, and eval shingles broadcast; the train

@@ -456,13 +456,33 @@ def test_extend_knn_graph_matches_rebuild(embeddings):
     extended = ann.extend_knn_graph(base, e_base, new, T=T, dim=32) \
         .localCheckpoint(eager=True)
 
-    touched = {r["src"] for r in
+    # the expected touched set is computed INDEPENDENTLY of the
+    # extended-vs-base diff (ADVICE r3: deriving it from the diff made
+    # the verbatim assertion vacuous if every row had been rewritten):
+    # an adjacency list may change iff its src is a new id or a
+    # discovered neighbor (dst) of the new nodes' search/batch edges —
+    # extend_knn_graph's bounded-touch contract
+    nn = ann.graph_topk(new, base, k=T, dim=32, edges=e_base)
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    expected_touched = new_ids | {
+        r["neighbor_id"] for r in nn.select("neighbor_id").collect()}
+
+    changed = {r["src"] for r in
                extended.join(e_base, ["src", "dst", "score"], "left_anti")
                .select("src").distinct().collect()}
+    changed |= {r["src"] for r in  # deletions count as changes too
+                e_base.join(extended, ["src", "dst", "score"], "left_anti")
+                .select("src").distinct().collect()}
+    assert changed <= expected_touched, changed - expected_touched
+    base_srcs = {r["src"] for r in e_base.select("src").distinct().collect()}
+    assert base_srcs - expected_touched, \
+        "bounded-touch contract vacuous: every base node was touched"
+
     before = {(r["src"], r["dst"], r["score"])
-              for r in e_base.collect() if r["src"] not in touched}
+              for r in e_base.collect() if r["src"] not in expected_touched}
     after = {(r["src"], r["dst"], r["score"])
-             for r in extended.collect() if r["src"] not in touched}
+             for r in extended.collect()
+             if r["src"] not in expected_touched}
     assert before == after  # untouched rows verbatim
 
     deg = extended.groupBy("src").count().agg(F.max("count")).first()[0]
@@ -524,6 +544,109 @@ def test_graph_topk_entry_mode_ablation(embeddings):
     # the unseeded walk dead-ends inside its entry component (few
     # scorings, converges early) — the structural reason it loses
     assert s_hnsw["n_candidates"] < s_lsh["n_candidates"], (s_hnsw, s_lsh)
+
+
+@pytest.fixture(scope="module")
+def dup_heavy(spark, embeddings):
+    """The clustered fixture plus one planted MEGA-BUCKET: 400
+    byte-identical vectors, which collide in EVERY band — the
+    duplicate-heavy regime (exactly the dedup domain) where an
+    uncapped bucket equi-join goes quadratic in the hot bucket."""
+    v = [1.0] * 32
+    dup = spark.createDataFrame(
+        [(10_000 + i, v) for i in range(400)],
+        "vec_id long, embedding array<float>")
+    return embeddings.select("vec_id", "embedding").unionByName(dup) \
+        .localCheckpoint(eager=True)
+
+
+def test_lsh_topk_query_bucket_cap(dup_heavy, embeddings):
+    """Query-side candidate cap (the probe budget lshUB,
+    src/divGraph.h:934-937; VERDICT r3 item 2): with one planted
+    mega-bucket, the capped run must verify strictly fewer candidates,
+    report the overflow it dropped, and keep both the mega-bucket
+    query's result quality (its true neighbors survive the cap — the
+    kept members are still exact duplicates) and the normal queries'
+    recall."""
+    q = dup_heavy.filter(
+        F.col("vec_id").isin([10_000, 10_001, 0, 1, 2, 3, 4]))
+    s_cap: dict = {}
+    s_open: dict = {}
+    capped = ann.lsh_topk(q, dup_heavy, k=5, dim=32,
+                          bucket_cap=64, stats=s_cap) \
+        .localCheckpoint(eager=True)
+    ann.lsh_topk(q, dup_heavy, k=5, dim=32,
+                 bucket_cap=None, stats=s_open)
+    assert s_cap["n_bucket_overflow"] > 0, s_cap
+    assert s_cap["n_candidates"] < s_open["n_candidates"], (s_cap, s_open)
+    # bounded: the dup queries' candidate fan-in from the mega-bucket
+    # is <= cap (same kept subset in every band: hash order of id is
+    # band-independent), not ~400
+    dup_cands = capped.filter(F.col("query_id") >= 10_000)
+    assert dup_cands.filter(F.col("score") >= 0.999).count() == 10, \
+        "dup queries must still fill top-5 with exact duplicates"
+    # normal queries keep recall against the full corpus
+    qn = dup_heavy.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
+    exact = ann.bruteforce_topk(qn, dup_heavy, k=5)
+    rec = ann.ann_recall(capped.filter(F.col("query_id") < 400), exact)
+    assert rec >= 0.8, rec
+
+
+def test_graph_topk_seed_bucket_cap(dup_heavy):
+    """The same lshUB cap on graph_topk's SEED join (the r3 gap:
+    build capped mega-buckets but the query path joined uncapped).
+    The count comparison runs at rounds=0 so it isolates the SEED
+    stage — with expansion on, the graph walk legitimately
+    re-discovers dropped mega-bucket members (that recoverability is
+    the reason the cap is safe), which would blur the seed count."""
+    q = dup_heavy.filter(F.col("vec_id").isin([10_000, 0, 1]))
+    edges = ann.build_knn_graph(dup_heavy, T=8, dim=32, seed=42) \
+        .localCheckpoint(eager=True)
+    s_cap: dict = {}
+    s_open: dict = {}
+    capped = ann.graph_topk(q, dup_heavy, k=5, dim=32, edges=edges,
+                            rounds=0, bucket_cap=64, stats=s_cap) \
+        .localCheckpoint(eager=True)
+    ann.graph_topk(q, dup_heavy, k=5, dim=32, edges=edges,
+                   rounds=0, bucket_cap=None, stats=s_open)
+    assert s_cap["n_bucket_overflow"] > 0, s_cap
+    assert s_cap["n_candidates"] < s_open["n_candidates"], (s_cap, s_open)
+    # the mega-bucket query still fills top-5 with exact duplicates
+    # from the capped seed set alone
+    assert capped.filter((F.col("query_id") == 10_000)
+                         & (F.col("score") >= 0.999)).count() == 5
+
+
+def test_graph_topk_hop_stats(embeddings):
+    """Per-query search-depth diagnostics (maps queryN.maxHop/cost,
+    src/e2lsh.h:19-76, src/Query.h:10-42; VERDICT r3 item 8)."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    stats: dict = {}
+    ann.graph_topk(q, embeddings, k=10, dim=32, T=12, ef=32,
+                   rounds=4, seed=42, stats=stats).count()
+    for field in ("max_hop", "avg_hop", "max_admitted", "avg_admitted"):
+        assert field in stats, stats
+    assert 1 <= stats["max_hop"] <= stats["n_rounds"], stats
+    assert 0 < stats["avg_hop"] <= stats["max_hop"], stats
+    assert 0 < stats["avg_admitted"] <= stats["max_admitted"], stats
+    # admitted expansion candidates + seeds = total exact scorings
+    assert stats["max_admitted"] <= stats["n_candidates"], stats
+
+
+def test_graph_topk_large_batch_shuffle_path(embeddings):
+    """The scoring join's broadcast is gated on Q·ef (ADVICE r3): a
+    batch above broadcast_row_limit takes the shuffle-join plan. Both
+    plans must return identical rows — the gate is a physical-plan
+    choice, never a semantic one."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    edges = ann.build_knn_graph(embeddings, T=12, dim=32, seed=42) \
+        .localCheckpoint(eager=True)
+    small = ann.graph_topk(q, embeddings, k=10, dim=32, edges=edges,
+                           broadcast_row_limit=200_000)
+    forced = ann.graph_topk(q, embeddings, k=10, dim=32, edges=edges,
+                            broadcast_row_limit=1)
+    assert sorted(map(tuple, small.collect())) == \
+        sorted(map(tuple, forced.collect()))
 
 
 def test_graph_topk_prune_counts_and_recall(embeddings):
