@@ -228,15 +228,164 @@ def _bucket_overflow(cb: DataFrame, bucket_cap: int, seed: int,
     )
 
 
+def _sign_collision_prob(sims: np.ndarray) -> np.ndarray:
+    """Per-hash collision probability of the sign-LSH family at cosine
+    similarity s: 1 - theta/pi (Goemans-Williamson; the angular
+    analogue of the reference's p-stable collision model)."""
+    theta = np.arccos(np.clip(sims, -1.0, 1.0))
+    return 1.0 - theta / np.pi
+
+
+def _pstable_collision_prob(dists: np.ndarray, w: float) -> np.ndarray:
+    """Per-hash collision probability of the quantized p-stable family
+    at L2 distance d with bucket width w — the closed form the
+    reference's setW tuning targets (src/basis.cpp:8-31; Datar et al.
+    SoCG'04): p(d) = 1 - 2*Phi(-w/d) - (2d/(sqrt(2pi)w))(1-e^{-w^2/2d^2})."""
+    from math import erf
+    d = np.maximum(dists, 1e-12)
+    c = w / d
+    phi_neg = 0.5 * (1.0 + np.array([erf(x) for x in (-c / np.sqrt(2.0))]))
+    return (1.0 - 2.0 * phi_neg
+            - (2.0 / (np.sqrt(2.0 * np.pi) * c))
+            * (1.0 - np.exp(-c * c / 2.0)))
+
+
+def _band_hit_prob(p: np.ndarray, r: int, probes: int,
+                   bands: int) -> np.ndarray:
+    """Probability a pair shares >= 1 bucket key under (bands x r)
+    banding with leave-one-out multi-probe: per band the pair matches
+    the base key with prob p^r, or probe j's key (row j left out) with
+    prob p^(r-1)(1-p) — disjoint events, so q = p^r + probes*p^(r-1)(1-p)
+    and the hit prob over B independent bands is 1-(1-q)^B."""
+    q = p ** r + probes * (p ** (r - 1)) * (1.0 - p)
+    return 1.0 - (1.0 - np.clip(q, 0.0, 1.0)) ** bands
+
+
+def calibrate_lsh_knobs(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    metric: str = "cosine",
+    seed: int = 42,
+    target_recall: float = 0.95,
+    max_cost: float = 0.5,
+    n_probe_queries: int = 32,
+    n_background: int = 512,
+    w_default: float = 4.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Choose (bands, rows_per_band, num_probes[, w]) from measured
+    corpus statistics — the runtime analogue of the reference's
+    per-dataset setW (src/basis.cpp:8-31), which ships hand-tuned W
+    per corpus; here the tuning is derived on the fly (VERDICT r3
+    item 6):
+
+    1. a seeded hash-order sample (TakeOrdered — scale-safe, no full
+       sort) gives ``n_background`` corpus vectors; the first
+       ``n_probe_queries`` of them are probe queries;
+    2. the probes' exact top-k against the FULL corpus (one distributed
+       brute-force pass — the same oracle join the bench uses) gives
+       the golden-NEIGHBOR distance distribution; sample-vs-sample
+       pair distances give the BACKGROUND distribution;
+    3. a grid of configs is scored with the family's closed-form
+       collision probability (sign-LSH: 1-theta/pi; p-stable: the
+       Datar et al. form): est_recall = mean hit prob over neighbor
+       distances, est_cost = mean hit prob over background distances.
+       The cheapest config with est_recall >= target AND est_cost <=
+       max_cost wins; ties prefer fewer bucket keys. (No safety margin
+       on the target: the model consistently UNDERESTIMATES realized
+       recall — the exact re-rank only needs the collision stage to
+       surface a candidate once, measured est 0.963 -> actual 0.988 on
+       the clustered bench corpus — so a margin just buys cost.)
+
+    If NO config clears both bars (a near-random corpus — neighbor and
+    background distances overlap, so selectivity is structurally
+    impossible, as on the driver's sf embeddings), the documented
+    defaults return with ``calibrated=False`` — behavior then matches
+    the uncalibrated engine instead of silently exploding the band
+    count to chase an unreachable target. Deterministic given
+    (corpus, seed)."""
+    samp = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h", "i").limit(n_background).collect()
+    )
+    fallback = {"bands": 8, "rows_per_band": 4, "num_probes": 2,
+                "w": w_default, "calibrated": False}
+    if len(samp) < 2 * k:
+        return fallback
+    ids = [r["i"] for r in samp]
+    V = np.array([r["v"] for r in samp], dtype=np.float64)
+
+    probe_ids = ids[:n_probe_queries]
+    qdf = corpus.filter(F.col(id_col).isin(probe_ids))
+    exact = bruteforce_topk(qdf, corpus, k=k, id_col=id_col,
+                            vec_col=vec_col, metric=metric)
+    near_scores = np.array(
+        [r["score"] for r in exact.select("score").collect()])
+    if near_scores.size == 0:
+        return fallback
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(0, len(V), 4096)
+    b = rng.integers(0, len(V), 4096)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    if metric == "cosine":
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        near_p = {None: _sign_collision_prob(near_scores)}
+        far_p = {None: _sign_collision_prob(
+            np.einsum("ij,ij->i", Vn[a], Vn[b]))}
+        w_grid: list = [None]
+    else:  # l2_sq scores are negated squared distances
+        near_d = np.sqrt(np.maximum(-near_scores, 0.0))
+        far_d = np.linalg.norm(V[a] - V[b], axis=1)
+        d_med = max(float(np.median(near_d)), 1e-9)
+        w_grid = [round(m * d_med, 6) for m in (0.5, 1.0, 2.0, 4.0)]
+        near_p = {wv: _pstable_collision_prob(near_d, wv) for wv in w_grid}
+        far_p = {wv: _pstable_collision_prob(far_d, wv) for wv in w_grid}
+
+    best = None
+    for wv in w_grid:
+        for r in (4, 6, 8, 10, 12):
+            for probes in (0, 1, 2, 3):
+                for bands in (4, 8, 12, 16, 24, 32):
+                    rec = float(np.mean(
+                        _band_hit_prob(near_p[wv], r, probes, bands)))
+                    if rec < target_recall:
+                        continue
+                    cost = float(np.mean(
+                        _band_hit_prob(far_p[wv], r, probes, bands)))
+                    if cost > max_cost:
+                        # a config that "reaches" the target by
+                        # verifying most of the corpus is not a
+                        # calibration win — without this bound a
+                        # near-random corpus (neighbor/background
+                        # overlap) would trade a 4x bucket explode for
+                        # cost ~1, strictly worse than the fallback
+                        continue
+                    key = (cost, bands * (1 + probes))
+                    if best is None or key < best[0]:
+                        best = (key, {
+                            "bands": bands, "rows_per_band": r,
+                            "num_probes": probes,
+                            "w": wv if wv is not None else w_default,
+                            "calibrated": True,
+                            "est_recall": round(rec, 4),
+                            "est_cost": round(cost, 5)})
+    return best[1] if best is not None else fallback
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
     dim: int,
-    bands: int = 8,
-    rows_per_band: int = 4,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     seed: int = 42,
-    num_probes: int = 2,
+    num_probes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
@@ -261,7 +410,31 @@ def lsh_topk(
     the candidate join quadratic in that bucket; None disables).
     `stats`, if given, receives n_candidates (the exact verifications
     performed — reference cost counter, src/alg.h:130) and
-    n_bucket_overflow (corpus bucket rows dropped by the cap)."""
+    n_bucket_overflow (corpus bucket rows dropped by the cap).
+
+    When any of bands / rows_per_band / num_probes is None (the
+    default), the missing knobs come from calibrate_lsh_knobs — the
+    runtime setW analogue: a seeded corpus probe picks the cheapest
+    config whose modeled recall clears 0.95, falling back to the
+    documented broad defaults (8x4, 2 probes) on corpora with no
+    neighbor/background separation. Production batch jobs should
+    calibrate ONCE and pass explicit knobs; the auto path pays one
+    small probe (a TakeOrdered sample + one brute-force pass for
+    ~32 queries) per call. With metric="l2_sq" the calibrated bucket
+    width overrides ``w`` as well."""
+    if bands is None or rows_per_band is None or num_probes is None:
+        kn = calibrate_lsh_knobs(
+            corpus, dim=dim, k=k, metric=metric, seed=seed,
+            w_default=w, id_col=id_col, vec_col=vec_col)
+        bands = bands if bands is not None else kn["bands"]
+        rows_per_band = (rows_per_band if rows_per_band is not None
+                         else kn["rows_per_band"])
+        num_probes = (num_probes if num_probes is not None
+                      else kn["num_probes"])
+        if metric != "cosine" and kn["calibrated"]:
+            w = kn["w"]
+        if stats is not None:
+            stats["calibration"] = kn
     qb = _bucket_rows(queries, "query", dim, bands, rows_per_band,
                       seed, num_probes, id_col, vec_col, metric, w)
     cb = _bucket_rows(corpus, "neighbor", dim, bands, rows_per_band,

@@ -617,6 +617,59 @@ def test_graph_topk_seed_bucket_cap(dup_heavy):
                          & (F.col("score") >= 0.999)).count() == 5
 
 
+def test_lsh_auto_calibration_clustered(embeddings):
+    """Runtime knob calibration (the setW analogue, src/basis.cpp:8-31;
+    VERDICT r3 item 6): on a corpus WITH neighbor structure the
+    no-knobs path must pick a config that is strictly more selective
+    than the broad fallback at recall >= 0.9 — without hand-tuning."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(q, embeddings, k=5)
+    s_auto: dict = {}
+    auto = ann.lsh_topk(q, embeddings, k=5, dim=32, stats=s_auto)
+    rec = ann.ann_recall(auto, exact)
+    assert s_auto["calibration"]["calibrated"] is True, s_auto
+    assert rec >= 0.9, rec
+    s_fb: dict = {}
+    ann.lsh_topk(q, embeddings, k=5, dim=32, bands=8, rows_per_band=4,
+                 num_probes=2, stats=s_fb)
+    assert s_auto["n_candidates"] < s_fb["n_candidates"], (s_auto, s_fb)
+    # deterministic: same corpus + seed -> same knobs
+    again = ann.calibrate_lsh_knobs(embeddings, dim=32, k=5)
+    assert again == s_auto["calibration"], (again, s_auto)
+
+
+def test_lsh_auto_calibration_random_falls_back(spark):
+    """On a corpus with NO neighbor/background separation (uniform
+    random vectors) no config can be both selective and accurate —
+    the calibrator must return the documented broad defaults rather
+    than explode the band count chasing an unreachable target."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    pdf = pd.DataFrame({
+        "vec_id": range(400),
+        "embedding": [[float(x) for x in rng.standard_normal(32)]
+                      for _ in range(400)],
+    })
+    e = spark.createDataFrame(pdf, "vec_id long, embedding array<float>") \
+        .localCheckpoint(eager=True)
+    kn = ann.calibrate_lsh_knobs(e, dim=32, k=5)
+    assert kn["calibrated"] is False, kn
+    assert (kn["bands"], kn["rows_per_band"], kn["num_probes"]) == (8, 4, 2)
+
+
+def test_lsh_auto_calibration_l2(unnorm_embeddings):
+    """The p-stable branch calibrates bucket width W too (the literal
+    setW): on the unnormalized clustered fixture the chosen W must be
+    positive and the auto path must keep the L2 recall gate."""
+    kn = ann.calibrate_lsh_knobs(unnorm_embeddings, dim=32, k=5,
+                                 metric="l2_sq")
+    assert kn["w"] > 0, kn
+    q = unnorm_embeddings.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(q, unnorm_embeddings, k=5, metric="l2_sq")
+    approx = ann.lsh_topk(q, unnorm_embeddings, k=5, dim=32,
+                          metric="l2_sq")
+    assert ann.ann_recall(approx, exact) >= 0.9
+
+
 def test_graph_topk_hop_stats(embeddings):
     """Per-query search-depth diagnostics (maps queryN.maxHop/cost,
     src/e2lsh.h:19-76, src/Query.h:10-42; VERDICT r3 item 8)."""
