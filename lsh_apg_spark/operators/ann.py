@@ -152,8 +152,13 @@ def _bucket_rows(
     vec_col: str = "embedding",
     metric: str = "cosine",
     w: float = 4.0,
+    tag_probes: bool = False,
 ) -> DataFrame:
     """(id, vec, ...) -> slim bucket rows (<role>_id, bhash BIGINT).
+
+    ``tag_probes=True`` adds a `_probe` BOOLEAN column marking the
+    multi-probe keys (vs base band keys) — one UDF pass still; the
+    adaptive probe budget (lsh_topk) splits on it.
 
     Band + probe indices are mixed INTO the 64-bit hash (same trick as
     the dedup path, functions/hashing.band_probe_hashes) so a bucket
@@ -171,20 +176,29 @@ def _bucket_rows(
     else:
         project = make_pstable_udf(dim, bands * rows_per_band, seed, w)
     r = rows_per_band
-    hashes = []
+    keys = []
     for band in range(bands):
         base = F.slice("_bits", band * r + 1, r)
-        hashes.append(F.xxhash64(F.lit(band), base))
+        keys.append((F.xxhash64(F.lit(band), base), False))
         for p in range(1, num_probes + 1):
             kept = F.concat(
                 F.slice("_bits", band * r + 1, p - 1),
                 F.slice("_bits", band * r + p + 1, r - p),
             )
-            hashes.append(F.xxhash64(F.lit(band), F.lit(-p), kept))
+            keys.append((F.xxhash64(F.lit(band), F.lit(-p), kept), True))
+    projected = df.select(F.col(id_col).alias(f"{role}_id"),
+                          project(F.col(vec_col)).alias("_bits"))
+    if not tag_probes:
+        return projected.select(
+            f"{role}_id",
+            F.explode(F.array(*(h for h, _ in keys))).alias("bhash"))
+    structs = [F.struct(h.alias("h"), F.lit(is_p).alias("p"))
+               for h, is_p in keys]
     return (
-        df.select(F.col(id_col).alias(f"{role}_id"),
-                  project(F.col(vec_col)).alias("_bits"))
-        .select(f"{role}_id", F.explode(F.array(*hashes)).alias("bhash"))
+        projected
+        .select(f"{role}_id", F.explode(F.array(*structs)).alias("_s"))
+        .select(f"{role}_id", F.col("_s.h").alias("bhash"),
+                F.col("_s.p").alias("_probe"))
     )
 
 
@@ -391,6 +405,7 @@ def lsh_topk(
     metric: str = "cosine",
     w: float = 4.0,
     bucket_cap: int | None = 512,
+    probe_budget: int | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH banding + multi-probe generates
@@ -408,6 +423,10 @@ def lsh_topk(
     per bucket key (the probe budget lshUB, src/divGraph.h:934-937 —
     one hot bucket on a duplicate-heavy corpus would otherwise make
     the candidate join quadratic in that bucket; None disables).
+    ``probe_budget``: queries whose base band keys already produce
+    this many candidates skip the multi-probe expansion (the adaptive
+    early-stop of the reference's LLCP-ordered probing,
+    src/e2lsh.cpp:573-699); None keeps probing unconditional.
     `stats`, if given, receives n_candidates (the exact verifications
     performed — reference cost counter, src/alg.h:130) and
     n_bucket_overflow (corpus bucket rows dropped by the cap).
@@ -435,8 +454,6 @@ def lsh_topk(
             w = kn["w"]
         if stats is not None:
             stats["calibration"] = kn
-    qb = _bucket_rows(queries, "query", dim, bands, rows_per_band,
-                      seed, num_probes, id_col, vec_col, metric, w)
     cb = _bucket_rows(corpus, "neighbor", dim, bands, rows_per_band,
                       seed, num_probes, id_col, vec_col, metric, w)
     if bucket_cap is not None:
@@ -444,12 +461,43 @@ def lsh_topk(
             stats["n_bucket_overflow"] = _bucket_overflow(
                 cb, bucket_cap, seed)
         cb = _cap_bucket_members(cb, bucket_cap, seed)
-    cands = (
-        qb.join(cb, "bhash")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id")
-    )
+
+    use_budget = probe_budget is not None and num_probes > 0
+    qb = _bucket_rows(queries, "query", dim, bands, rows_per_band,
+                      seed, num_probes, id_col, vec_col, metric, w,
+                      tag_probes=use_budget)
+
+    def _pairs(q_rows: DataFrame) -> DataFrame:
+        return (
+            q_rows.join(cb, "bhash")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .select("query_id", "neighbor_id")
+        )
+
+    if use_budget:
+        # adaptive probe budget (the analogue of the reference's
+        # LLCP-ordered probing with early stop, src/e2lsh.cpp:573-699:
+        # stop probing once enough candidates are in hand): queries
+        # whose BASE band keys already yield >= probe_budget candidates
+        # skip the probe-key expansion entirely — probe cost stops
+        # being unconditionally worst-case. One declarative plan, no
+        # driver round-trips: the per-query count is a groupBy, the
+        # skip is a semi-join.
+        base_cands = _pairs(qb.filter(~F.col("_probe")).drop("_probe"))
+        under = (
+            base_cands.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") < probe_budget)
+            .select("query_id")
+        )
+        probe_cands = _pairs(
+            qb.filter(F.col("_probe")).drop("_probe")
+            .join(under, "query_id", "left_semi"))
+        cands = base_cands.unionByName(probe_cands) \
+            .dropDuplicates(["query_id", "neighbor_id"])
+    else:
+        cands = _pairs(qb)
     if stats is not None:
         cands = cands.localCheckpoint(eager=True)
         stats["n_candidates"] = cands.count()

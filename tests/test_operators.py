@@ -617,6 +617,26 @@ def test_graph_topk_seed_bucket_cap(dup_heavy):
                          & (F.col("score") >= 0.999)).count() == 5
 
 
+def test_lsh_topk_adaptive_probe_budget(embeddings):
+    """Adaptive probe budget (the early-stop of LLCP-ordered probing,
+    src/e2lsh.cpp:573-699; VERDICT r3 item 9): queries already rich in
+    base-key candidates skip probe expansion — candidate counts drop
+    on a clustered corpus at an unchanged recall gate."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(q, embeddings, k=5)
+    cfg = dict(dim=32, bands=8, rows_per_band=4, num_probes=2, seed=42)
+    s_budget: dict = {}
+    s_full: dict = {}
+    budgeted = ann.lsh_topk(q, embeddings, k=5, probe_budget=40,
+                            stats=s_budget, **cfg)
+    ann.lsh_topk(q, embeddings, k=5, probe_budget=None,
+                 stats=s_full, **cfg)
+    assert s_budget["n_candidates"] < s_full["n_candidates"], \
+        (s_budget, s_full)
+    rec = ann.ann_recall(budgeted, exact)
+    assert rec >= 0.9, rec
+
+
 def test_lsh_auto_calibration_clustered(embeddings):
     """Runtime knob calibration (the setW analogue, src/basis.cpp:8-31;
     VERDICT r3 item 6): on a corpus WITH neighbor structure the
