@@ -166,33 +166,41 @@ def bench_ann_eval(spark, sf_dir: str) -> dict:
     return _eval_ann_corpus(spark, e)
 
 
-def bench_ann_eval_clustered(spark, n_vecs: int = 20_000) -> dict:
-    """ANN metric triple on a deterministic CLUSTERED corpus (2000
-    centers x 10 members, 64-dim) — the regime the reference's
-    published row comes from (real datasets have neighbor structure;
+def make_clustered_corpus(spark, n_vecs: int = 20_000, dim: int = 64,
+                          members: int = 10, noise: float = 0.15,
+                          seed: int = 7):
+    """Deterministic CLUSTERED embedding corpus (n_vecs/members centers
+    x members, dim-d) — the regime the reference's published row comes
+    from (real datasets have neighbor structure;
     dataset/ANN/LSH-G_div_result.csv:2 = recall 0.9942 at cost 0.026).
+    Shared by the bench's clustered eval and the amortization script."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_centers = n_vecs // members
+    centers = rng.standard_normal((n_centers, dim))
+    vid = 0
+    rows = []
+    for c in range(n_centers):
+        for _ in range(members):
+            v = centers[c] + noise * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<float>") \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))) \
+        .localCheckpoint(eager=True)
+
+
+def bench_ann_eval_clustered(spark, n_vecs: int = 20_000) -> dict:
+    """ANN metric triple on the clustered corpus (make_clustered_corpus).
     On the driver's near-random sf embeddings no method can be both
     selective and accurate (scripts/tune_ann.py curves); this corpus
     is where the engine's cost at recall >= 0.95 is expected to reach
     the reference's regime — and where a 100 TB corpus (which always
     has duplicate/near-dup structure) actually lives."""
-    import numpy as np
-    import pandas as pd
-
-    rng = np.random.Generator(np.random.PCG64(7))
-    n_centers = n_vecs // 10
-    centers = rng.standard_normal((n_centers, 64))
-    vid = 0
-    rows = []
-    for c in range(n_centers):
-        for _ in range(10):
-            v = centers[c] + 0.15 * rng.standard_normal(64)
-            rows.append((vid, [float(x) for x in v]))
-            vid += 1
-    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
-    e = spark.createDataFrame(pdf, "vec_id long, embedding array<float>") \
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))) \
-        .localCheckpoint(eager=True)
+    e = make_clustered_corpus(spark, n_vecs)
 
     # give LSH its corpus-calibrated best (deep bands) alongside the
     # sf0.1-calibrated default, so the graph comparison is against the

@@ -79,6 +79,81 @@ def shingle_hashes(text: str, k: int, cache: dict[str, np.uint64]) -> np.ndarray
     return np.unique(s)
 
 
+def shingle_hashes_batch(texts, k: int) -> list[np.ndarray]:
+    """Batch form of shingle_hashes over a whole Arrow batch — output
+    is ELEMENT-IDENTICAL per document (same token hashes, same rolling
+    combine, same sorted-distinct order), but the per-token Python work
+    drops from one dict probe + scalar store per TOKEN OCCURRENCE to
+    one blake2b per UNIQUE token per batch:
+
+    * all tokens of the batch factorize in C (pandas.factorize), and
+      occurrence hashes come from one vectorized gather;
+    * rolling shingle hashes compute in k shifted-add passes over the
+      single CONCATENATED hash array; windows that straddle a document
+      boundary are masked out vectorized (doc index of window start !=
+      doc index of window end);
+    * per-document sorted-distinct falls out of one lexsort over
+      (doc, hash) + an adjacent-difference mask — the batched np.unique.
+
+    This was the engine's #1 CPU consumer (the signature stage was
+    ~110 s of a 180 s end-to-end run at 800k docs; VERDICT r3 carried
+    it as the biggest single-node win available)."""
+    import pandas as pd
+
+    tok_lists = [normalize_tokens(t or "") for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    ndocs = len(tok_lists)
+    res: list = [None] * ndocs
+
+    all_toks = [t for toks in tok_lists for t in toks]
+    if all_toks:
+        codes, uniques = pd.factorize(np.asarray(all_toks, dtype=object))
+        uniq_hashes = np.fromiter(
+            (token_hash(u) for u in uniques), dtype=U64, count=len(uniques))
+        th_all = uniq_hashes[codes]
+    else:
+        th_all = np.empty(0, dtype=U64)
+
+    total = int(lens.sum())
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    starts = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+
+    m_total = total - k + 1
+    if m_total > 0:
+        with np.errstate(over="ignore"):
+            s = np.zeros(m_total, dtype=U64)
+            for j in range(k):
+                s = s * _SHINGLE_MULT + th_all[j:j + m_total]
+        valid = doc_idx[:m_total] == doc_idx[k - 1:]
+        d = doc_idx[:m_total][valid]
+        h = s[valid]
+        order = np.lexsort((h, d))
+        d_s, h_s = d[order], h[order]
+        first = np.ones(len(d_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        du, hu = d_s[first], h_s[first]
+        cut = np.searchsorted(du, np.arange(ndocs + 1))
+        for i in range(ndocs):
+            if lens[i] >= k:
+                res[i] = hu[cut[i]:cut[i + 1]]
+
+    for i in range(ndocs):
+        if res[i] is not None:
+            continue
+        n = int(lens[i])
+        if n == 0:
+            res[i] = np.array([_EMPTY_TOKEN_HASH], dtype=U64)
+            continue
+        th = th_all[starts[i]:starts[i] + n]
+        with np.errstate(over="ignore"):
+            acc = np.zeros(1, dtype=U64)
+            for j in range(n):
+                acc = acc * _SHINGLE_MULT + th[j]
+        res[i] = acc
+    return res
+
+
 def minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Seeded (a, b) multiply-shift params: a odd uint64, b uint64.
     Analogue of the reference's HashParam rndAs/rndBs

@@ -56,12 +56,14 @@ def make_signature_udf(cfg: DedupConfig):
     def signature_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         a, b = kernels.minhash_params(num_hashes, seed)
         for texts in it:
-            cache: dict[str, np.uint64] = {}
+            # batched tokenize+hash (factorize + vectorized rolling
+            # combine — element-identical to the per-doc kernel;
+            # kernels.shingle_hashes_batch)
+            shingles = kernels.shingle_hashes_batch(texts, k)
             minhashes = np.empty((len(texts), num_hashes), dtype=np.int64)
             shingle_sets = []
             simhashes = np.empty(len(texts), dtype=np.int64)
-            for i, text in enumerate(texts):
-                sh = kernels.shingle_hashes(text or "", k, cache)
+            for i, sh in enumerate(shingles):
                 minhashes[i] = kernels.minhash_signature(sh, a, b)
                 simhashes[i] = kernels.simhash64(sh)
                 shingle_sets.append(sh.view(np.int64))
