@@ -95,9 +95,18 @@ def shingle_hashes_batch(texts, k: int) -> list[np.ndarray]:
     * per-document sorted-distinct falls out of one lexsort over
       (doc, hash) + an adjacent-difference mask — the batched np.unique.
 
-    This was the engine's #1 CPU consumer (the signature stage was
-    ~110 s of a 180 s end-to-end run at 800k docs; VERDICT r3 carried
-    it as the biggest single-node win available)."""
+    STATUS — measured, NOT shipped (the A/B-verify pattern of
+    BASELINE.md): on this sandbox VM the batch form runs 2-7x SLOWER
+    than the per-doc kernel on fixture text despite doing strictly
+    less Python work, because the VM's large-array allocations stall
+    on page faults (fresh ~20 MB numpy temporaries measured at erratic
+    10-100x op slowdowns; with preallocated outputs the same ufuncs
+    run at full speed, so it is allocation, not compute). The per-doc
+    kernel's KB-sized arrays never leave the CPU cache or the small-
+    object allocator. Kept parity-tested
+    (tests/test_kernels.py::test_shingle_hashes_batch_matches_per_doc)
+    for hosts with sane huge-page behavior; re-measure before wiring
+    into make_signature_udf."""
     import pandas as pd
 
     tok_lists = [normalize_tokens(t or "") for t in texts]

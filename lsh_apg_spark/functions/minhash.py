@@ -56,14 +56,22 @@ def make_signature_udf(cfg: DedupConfig):
     def signature_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         a, b = kernels.minhash_params(num_hashes, seed)
         for texts in it:
-            # batched tokenize+hash (factorize + vectorized rolling
-            # combine — element-identical to the per-doc kernel;
-            # kernels.shingle_hashes_batch)
-            shingles = kernels.shingle_hashes_batch(texts, k)
+            # per-doc kernel ON PURPOSE: the batched variant
+            # (kernels.shingle_hashes_batch — factorize + vectorized
+            # rolling combine, element-identical, parity-tested)
+            # measured 2-7x SLOWER here because this VM's large-array
+            # allocations stall on page faults (fresh ~20 MB numpy
+            # temporaries: erratic 10-100x op slowdowns, measured with
+            # prealloc controls), while the per-doc path stays in
+            # KB-sized cache-resident arrays. On hardware with sane
+            # huge-page behavior the batch form should win; re-measure
+            # before swapping.
+            cache: dict[str, np.uint64] = {}
             minhashes = np.empty((len(texts), num_hashes), dtype=np.int64)
             shingle_sets = []
             simhashes = np.empty(len(texts), dtype=np.int64)
-            for i, sh in enumerate(shingles):
+            for i, text in enumerate(texts):
+                sh = kernels.shingle_hashes(text or "", k, cache)
                 minhashes[i] = kernels.minhash_signature(sh, a, b)
                 simhashes[i] = kernels.simhash64(sh)
                 shingle_sets.append(sh.view(np.int64))
