@@ -371,9 +371,13 @@ def _q_ann_eval(spark, sf):
         ev = ann.ann_eval(fn(stats), exact,
                           n_candidates=stats.get("n_candidates"),
                           corpus_size=n)
-        rows.append((name, ev["recall"], ev["ratio"], ev.get("cost")))
+        # per-query search-depth diagnostics (queryN.maxHop,
+        # src/e2lsh.h:19-76) — graph-path only; NULL for bucket LSH
+        rows.append((name, ev["recall"], ev["ratio"], ev.get("cost"),
+                     stats.get("max_hop"), stats.get("avg_hop")))
     return spark.createDataFrame(
-        rows, "variant string, recall double, ratio double, cost double") \
+        rows, "variant string, recall double, ratio double, cost double, "
+              "max_hop int, avg_hop double") \
         .orderBy("variant")
 
 

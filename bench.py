@@ -386,24 +386,36 @@ def run_parallelism_level(cpus: int, n_docs: int) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
-def write_scaling_report(path: str = "BENCH/BASELINE.md") -> dict:
+def write_scaling_report(path: str = "BENCH/BASELINE.md",
+                         prior_runs: list[dict] | None = None) -> dict:
     """Interleaved best-of-N measurement of the two parallelism levels.
 
     The sandbox VM suffers bursty hypervisor CPU steal (individually
-    measured runs of identical jobs vary 2-3x), so each level is run
-    `SPARK_GRAFT_SCALING_REPS` times interleaved (lo, hi, lo, hi — 4,
-    16 by default, SPARK_GRAFT_SCALING_LEVELS overrides) in
-    isolated subprocesses (fresh JVM each — a reused JVM contaminates
-    the next run through heap/GC state) and the fastest run per level
-    is taken: the min is the standard noise-robust estimator when noise
-    is strictly additive."""
+    measured runs of identical jobs vary 2-3x, and bursts last whole
+    minutes), so each level is run `SPARK_GRAFT_SCALING_REPS` times
+    interleaved (lo, hi, lo, hi — 4, 16 by default,
+    SPARK_GRAFT_SCALING_LEVELS overrides) in isolated subprocesses
+    (fresh JVM each — a reused JVM contaminates the next run through
+    heap/GC state) and the fastest run per level is taken: the min is
+    the standard noise-robust estimator when noise is strictly
+    additive.
+
+    ``prior_runs``: pass runs already collected (e.g. accumulated
+    across several measurement windows, hours apart, to ride out
+    multi-minute steal storms) to build the report from them instead
+    of measuring fresh — min-of-N across windows is strictly more
+    steal-robust than min-of-N within one."""
     n_docs = _scaling_docs()
     lo_cpus, hi_cpus = _scaling_levels()
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-    runs: list[dict] = []
-    for _ in range(reps):
-        for cpus in (lo_cpus, hi_cpus):
-            runs.append(run_parallelism_level(cpus, n_docs))
+    if prior_runs is not None:
+        runs = list(prior_runs)
+        reps = max(1, len(runs) // 2)
+    else:
+        runs = []
+        for _ in range(reps):
+            for cpus in (lo_cpus, hi_cpus):
+                runs.append(run_parallelism_level(cpus, n_docs))
     lo = max((r for r in runs if r["cpus"] == lo_cpus),
              key=lambda r: r["docs_per_sec"])
     hi = max((r for r in runs if r["cpus"] == hi_cpus),
