@@ -106,7 +106,17 @@ def shingle_hashes_batch(texts, k: int) -> list[np.ndarray]:
     object allocator. Kept parity-tested
     (tests/test_kernels.py::test_shingle_hashes_batch_matches_per_doc)
     for hosts with sane huge-page behavior; re-measure before wiring
-    into make_signature_udf."""
+    into make_signature_udf.
+
+    The CHUNKED middle ground (16-64 docs per concatenated segment +
+    np.minimum.reduceat/np.add.reduceat segmented folds, temporaries
+    capped at a few MB) was also measured (r4): minhash 0.44 -> 0.35 s
+    /4k docs at chunk=32 (~20%, within window noise), chunked simhash
+    3-5x SLOWER than per-doc, per-doc dict-memo token lookup FASTER
+    than per-doc pd.factorize (0.17 vs 0.39 s — the cross-doc memo hit
+    rate beats C factorization on web text's repeated vocabulary). No
+    variant moves the signature stage materially on this host; the
+    remaining headroom is a compiled tokenizer, out of scope here."""
     import pandas as pd
 
     tok_lists = [normalize_tokens(t or "") for t in texts]
