@@ -151,7 +151,8 @@ def _eval_ann_corpus(spark, e, n_queries: int = 20, dim: int = 64,
                           corpus_size=n)
         ev["wall_sec"] = wall
         for extra in ("n_pruned", "max_hop", "avg_hop",
-                      "max_admitted", "avg_admitted"):
+                      "max_admitted", "avg_admitted",
+                      "seed_sec", "expand_sec"):
             if extra in stats:
                 ev[extra] = stats[extra]
         out[name] = ev

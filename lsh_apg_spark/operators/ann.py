@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from collections.abc import Iterator
 
 import numpy as np
@@ -805,7 +806,13 @@ def graph_topk(
     n_pruned, n_bucket_overflow, and the per-query search-depth
     diagnostics max_hop / avg_hop / max_admitted / avg_admitted (the
     reference's queryN.maxHop/cost counters, src/e2lsh.h:19-76,
-    src/Query.h:10-42)."""
+    src/Query.h:10-42). It also receives the two stage walls seed_sec
+    (LSH probe + sketch prep + seed scoring) and expand_sec (the
+    expansion-round loop) — the batch analogue of the reference's
+    per-query timeHash/timeSift split (src/e2lsh.h:19-76): in a
+    distributed engine the stages are batch jobs, so the meaningful
+    timing unit is the stage wall over the batch, not a per-row
+    stopwatch."""
     if edges is None:
         edges = build_knn_graph(
             corpus, T=T, dim=dim, bands=build_bands,
@@ -868,6 +875,7 @@ def graph_topk(
     # picks the plan for the whole search.
     n_q = queries.count()
     fuse_broadcast = n_q * ef <= broadcast_row_limit
+    _t_seed = time.monotonic()  # timeHash-analogue stage wall starts
 
     def score(cands: DataFrame) -> DataFrame:
         if fuse_broadcast:
@@ -910,7 +918,9 @@ def graph_topk(
     n_scored = visited.count()
     state = top_ef(score(visited)).localCheckpoint(eager=True)
     frontier = state.select("query_id", "neighbor_id")
+    seed_sec = time.monotonic() - _t_seed
 
+    _t_expand = time.monotonic()
     n_rounds = 0
     n_pruned = 0
     hop_frames: list[DataFrame] = []
@@ -1002,6 +1012,8 @@ def graph_topk(
         stats["n_candidates"] = n_scored
         stats["n_rounds"] = n_rounds
         stats["n_pruned"] = n_pruned
+        stats["seed_sec"] = round(seed_sec, 3)
+        stats["expand_sec"] = round(time.monotonic() - _t_expand, 3)
         # per-query search depth + admitted-candidate counts (maps
         # queryN.maxHop / q->cost, src/e2lsh.h:19-76, src/Query.h:10-42):
         # hop = deepest expansion round in which the query exact-scored a

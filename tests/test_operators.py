@@ -739,6 +739,12 @@ def test_graph_topk_prune_counts_and_recall(embeddings):
     assert s_off["n_pruned"] == 0
     assert s_on["n_candidates"] < s_off["n_candidates"], (s_on, s_off)
     assert ann.ann_recall(pruned, exact) >= 0.95
+    # stage walls (the batch analogue of queryN.timeHash/timeSift,
+    # src/e2lsh.h:19-76): seed stage always runs; the expansion wall is
+    # positive whenever at least one expansion round executed
+    for s in (s_on, s_off):
+        assert s["seed_sec"] > 0, s
+        assert s["expand_sec"] > 0 or s["n_rounds"] == 0, s
 
 
 def test_ann_calibration_on_driver_corpus(spark):
