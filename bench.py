@@ -471,6 +471,31 @@ def write_scaling_report(path: str = "BENCH/BASELINE.md",
             stage_rows.append(f"| {s} | {ls} | {hs} | {se:.2f} |")
     stage_table = "\n".join(stage_rows)
 
+    # data-size (weak-scaling) series, derived from the ledger: the
+    # best run per (cpus, docs) cell. This is the series that predicts
+    # the real deployment (4N executors AND ~4N data) — per-core
+    # throughput should RISE with corpus size as fixed per-stage costs
+    # (driver rounds, barriers, the CC loop's serial depth) amortize.
+    size_rows = []
+    size_series: dict = {}
+    for c in (lo_cpus, hi_cpus):
+        sizes = sorted({r["docs"] for r in runs if r["cpus"] == c})
+        if len(sizes) < 2:
+            continue
+        for d_ in sizes:
+            best = max(
+                (r for r in runs if r["cpus"] == c and r["docs"] == d_),
+                key=lambda r: r["docs_per_sec"])
+            size_rows.append(
+                f"| local[{c}] | {d_} | {best['wall_sec']} "
+                f"| {best['docs_per_sec']} "
+                f"| {round(best['docs_per_sec'] / c, 1)} "
+                f"| {best['steal_sec']} |")
+            size_series.setdefault(str(c), {})[str(d_)] = {
+                "wall_sec": best["wall_sec"],
+                "docs_per_sec": best["docs_per_sec"]}
+    size_table = "\n".join(size_rows)
+
     # best SAME-WINDOW interleaved pair at a level pair: adjacent
     # (lo, hi) ledger entries — a strong-scaling ratio is only
     # meaningful when both sides share the host's turbo/contention
@@ -634,13 +659,16 @@ overcommitted single box is hostage to the slow-level baseline; the
 stable, decision-relevant quantities are the per-level throughputs
 and the data-size scaling below.
 
-**Data-size scaling at fixed cores (clean window, 800k -> 1.6M
-docs):** per-core throughput RISES with corpus size — 4 cores: 6402
--> 7580 docs/s; 16 cores: 13932 -> 15041 docs/s — because the fixed
+**Data-size scaling at fixed cores (best ledger run per cell):**
+per-core throughput RISES with corpus size because the fixed
 per-stage costs (driver rounds, barriers, the CC loop's serial
 depth) amortize over more data. This is the weak-scaling property
 that governs the real deployment (4N executors AND ~4N data), and it
-moves in the engine's favor.
+moves in the engine's favor:
+
+| level | docs | wall (s) | docs/sec | docs/sec/core | steal (s) |
+|---|---|---|---|---|---|
+{size_table}
 
 **Per-stage scaling** (best run at each level; efficiency = stage
 speedup / {factor:.0f}x — the evidence for WHICH stage limits the
@@ -687,6 +715,7 @@ frozen config).
               "stage_efficiency": stage_eff,
               "original_protocol_8_32": orig,
               "supplementary_protocols": supp,
+              "size_series": size_series,
               "commit": _git_head(),
               "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
               "runs": runs}
