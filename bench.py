@@ -854,6 +854,13 @@ def _slim_scaling(s: dict) -> dict:
                    "lo_docs_per_sec": v["lo"]["docs_per_sec"],
                    "hi_docs_per_sec": v["hi"]["docs_per_sec"]}
             for name, v in supp.items()}
+    # the weak-scaling trend, one docs->docs_per_sec map per level —
+    # the compact form of BENCH/BASELINE.md's data-size table
+    size = s.get("size_series") or {}
+    if size:
+        out["size_series"] = {
+            cpus: {docs: cell["docs_per_sec"] for docs, cell in m.items()}
+            for cpus, m in size.items()}
     return out
 
 
