@@ -225,7 +225,7 @@ def _scaling_docs() -> int:
     at small n the fixed per-stage costs (job scheduling, stage
     barriers, the CC driver loop) swamp the signal, exactly as a
     1000-executor cluster would be swamped by a 1-minute job.
-    Measured series (BENCH/scaling.json scale_series): raw 4->16
+    Measured series (BENCH/scaling.json size_series): raw 4->16
     efficiency 0.497 at 200k docs, 0.785 at 800k — default to the
     size where the criterion measures the job, not the latency."""
     return int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "800000"))
