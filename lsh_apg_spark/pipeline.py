@@ -161,14 +161,15 @@ def run_dedup(
         nid_clusters = connected_components(
             e, nodes=docs.select("nid"), id_col="nid")
         # nid component labels -> deterministic url labels: cluster_id
-        # = min member url of the component (two small aggs over the
-        # rep set; component labels being arbitrary nids never leak out)
+        # = min member url of the component, as a window-min over the
+        # label (one shuffle; component labels being arbitrary nids
+        # never leak out — same one-pass rationale as build_rep_map)
         members = nid_clusters.withColumnRenamed("cluster_id", "_lab") \
             .withColumnRenamed("nid", "_nid").join(id_map, "_nid")
-        label_url = members.groupBy("_lab").agg(
-            F.min(id_col).alias("cluster_id"))
-        rep_clusters = members.join(label_url, "_lab") \
-            .select(F.col(id_col).alias("_rep"), "cluster_id")
+        rep_clusters = members.select(
+            F.col(id_col).alias("_rep"),
+            F.min(id_col).over(Window.partitionBy("_lab"))
+            .alias("cluster_id"))
         # expand representative clusters back to every url; the rep is
         # its exact-group's min url, so cluster_id == global min member
         return rep_map.join(rep_clusters, "_rep").select(id_col, "cluster_id")
