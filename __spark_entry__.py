@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsh_apg_spark.config import DedupConfig
-from lsh_apg_spark.operators import ann, dedup, textstats
+from lsh_apg_spark.operators import ann, dedup, linedup, textstats
 from lsh_apg_spark.operators.banding import explode_buckets
 from lsh_apg_spark.operators.signatures import compute_signatures
 from lsh_apg_spark.operators.substring import substring_edges
@@ -76,6 +76,21 @@ def _q_lang_id(spark, sf):
 def _q_fingerprint(spark, sf):
     return textstats.doc_fingerprint(_docs(spark, sf)) \
         .select("doc_id", "md5").orderBy("doc_id")
+
+
+def _q_ngram_repetition(spark, sf):
+    return textstats.ngram_repetition(_docs(spark, sf), n=2).orderBy("doc_id")
+
+
+def _q_top_ngrams(spark, sf):
+    return textstats.top_ngrams(_docs(spark, sf), n=3, k=20)
+
+
+def _q_line_dedup(spark, sf):
+    # the synthetic corpus is single-line, so this reduces to
+    # keep-first exact dedup (multi-line behavior is pytest-gated on a
+    # planted fixture, tests/test_operators.py)
+    return linedup.line_dedup(_docs(spark, sf)).orderBy("doc_id")
 
 
 def _q_profile(spark, sf):
@@ -463,6 +478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        "ngram_repetition": _q_ngram_repetition,
+        "top_ngrams": _q_top_ngrams,
+        "line_dedup": _q_line_dedup,
         "dataset_profile": _q_profile,
         # multimodal plumbing
         "media_features": _q_media_features,
@@ -627,6 +645,80 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id
+        """,
+        "ngram_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                           AS grams
+                FROM t
+            ), x AS (
+                SELECT doc_id, unnest(grams) AS gm FROM g
+            ), c AS (
+                SELECT doc_id, gm, count(*) AS cnt FROM x GROUP BY doc_id, gm
+            ), tp AS (
+                SELECT doc_id, max(cnt) AS topc FROM c GROUP BY doc_id
+            )
+            SELECT g.doc_id AS doc_id,
+                   len(grams) AS n_ngrams,
+                   len(list_distinct(grams)) AS n_distinct,
+                   round((len(grams) - len(list_distinct(grams)))::DOUBLE
+                         / greatest(len(grams), 1), 4) AS dup_frac,
+                   round(coalesce(topc, 0)::DOUBLE
+                         / greatest(len(grams), 1), 4) AS top_frac
+            FROM g LEFT JOIN tp ON g.doc_id = tp.doc_id
+            ORDER BY doc_id
+        """,
+        "top_ngrams": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), x AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                || toks[i + 2])) AS ngram
+                FROM t
+            )
+            SELECT ngram, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM x GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+        """,
+        "line_dedup": """
+            WITH p AS (
+                SELECT doc_id, string_split(text, chr(10)) AS parts
+                FROM documents
+            ), i AS (
+                SELECT doc_id, parts,
+                       unnest(generate_series(1, len(parts))) AS pos1
+                FROM p
+            ), l AS (
+                SELECT doc_id, pos1 - 1 AS pos, parts[pos1] AS line
+                FROM i WHERE length(trim(parts[pos1])) > 0
+            ), w AS (
+                SELECT doc_id, pos, line,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) AS rn
+                FROM l
+            ), k AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       count(*) AS n_kept
+                FROM w WHERE rn = 1 GROUP BY doc_id
+            ), c AS (
+                SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id
+            )
+            SELECT k.doc_id, k.text, k.n_kept,
+                   c.n_lines - k.n_kept AS n_dropped
+            FROM k JOIN c USING (doc_id) ORDER BY doc_id
         """,
         "dataset_profile": """
             SELECT lang, count(*) AS n_docs,

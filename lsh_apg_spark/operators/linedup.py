@@ -1,0 +1,67 @@
+"""Corpus-wide line/paragraph deduplication — the CCNet/C4-style pass
+that removes text units repeated ACROSS documents (navigation chrome,
+cookie banners, quoted boilerplate) while keeping each unit's first
+occurrence, before document-level near-dup runs.
+
+The reference has no sub-document analogue (its unit is the vector /
+whole document); this operator is part of the web-text pipeline the
+engine targets. First-occurrence semantics follow CCNet (Wenzek et
+al. 2020 §3.1: hash each paragraph, drop non-first repeats).
+
+Scale shape: the winner per line is a groupBy(line_key).agg(min(...))
+— partially aggregated map-side, so a boilerplate line occurring 10^9
+times ships one partial row per task (a window row_number over the
+line key would put the hot key in one partition; the agg form cannot).
+Kept lines re-join on the 16-byte line key, and document reassembly is
+a doc-keyed groupBy with an in-row sort_array, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def line_dedup(docs: DataFrame, delim: str = "\n", id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Split each document on `delim`, keep only the globally-first
+    occurrence of every distinct line (first = min (doc_id, position)),
+    and reassemble documents from their surviving lines in original
+    order. Documents whose every line was seen earlier disappear — on
+    a corpus with exact-duplicate documents this subsumes keep-first
+    exact dedup; on multi-line corpora it removes per-line boilerplate.
+
+    Returns (id_col, text, n_kept, n_dropped) with `text` rebuilt from
+    the kept lines joined by `delim`.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delim, -1))
+             .alias("pos", "line"))
+        .filter(F.length(F.trim("line")) > 0)
+        .withColumn("lkey", F.md5(F.col("line").cast("binary")))
+    )
+    winners = (
+        lines.groupBy("lkey")
+        .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                            F.col("pos").alias("p"))).alias("w"))
+        .select("lkey", F.col("w.d").alias(id_col), F.col("w.p").alias("pos"))
+    )
+    kept = lines.join(winners, ["lkey", id_col, "pos"], "left_semi")
+    per_doc = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_lines"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "line"))).alias("ls"))
+        .select(
+            id_col,
+            F.concat_ws(delim, F.transform("ls", lambda s: s["line"]))
+             .alias("text"),
+            F.size("ls").alias("n_kept"),
+        )
+    )
+    return (
+        rebuilt.join(per_doc, id_col)
+        .select(id_col, "text", "n_kept",
+                (F.col("_n_lines") - F.col("n_kept")).alias("n_dropped"))
+    )

@@ -110,3 +110,79 @@ def dataset_profile(docs: DataFrame, group_col: str = "lang",
             F.round(F.stddev_samp(value_col), 4).alias("std_v"),
         )
     )
+
+
+def ngram_repetition(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document n-gram repetition score — the Gopher-style
+    repetition quality filter (Rae et al. 2021 §A1.1: "fraction of
+    characters in duplicate n-grams"; here the token-count variant):
+    per doc, the fraction of word n-grams that are repeats of an
+    earlier n-gram (`dup_frac`) and the share held by the single most
+    frequent n-gram (`top_frac`). High values flag boilerplate and
+    degenerate repetition upstream of dedup.
+
+    Scale shape: n-gram construction and the distinct count are pure
+    JVM array expressions per row (no explode, no Python); only
+    `top_frac` needs a shuffle — groupBy (doc, gram) then (doc), both
+    partially aggregated map-side, keyed by doc so no hot key can
+    exceed one document's n-grams."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col), grams.alias("_grams")).select(
+        id_col,
+        F.size("_grams").alias("n_ngrams"),
+        F.size(F.array_distinct("_grams")).alias("n_distinct"),
+        F.col("_grams"),
+    )
+    top = (
+        base.select(id_col, F.explode("_grams").alias("g"))
+        .groupBy(id_col, "g").count()
+        .groupBy(id_col).agg(F.max("count").alias("_top"))
+    )
+    return (
+        base.drop("_grams")
+        .join(top, id_col, "left")
+        .select(
+            id_col, "n_ngrams", "n_distinct",
+            F.round((F.col("n_ngrams") - F.col("n_distinct"))
+                    / F.greatest("n_ngrams", F.lit(1)), 4).alias("dup_frac"),
+            F.round(F.coalesce(F.col("_top"), F.lit(0))
+                    / F.greatest("n_ngrams", F.lit(1)), 4).alias("top_frac"),
+        )
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-level frequent n-gram mining — the boilerplate-discovery
+    pass of web-text curation (the n-grams that appear across many
+    documents are navigation chrome, license banners, cookie notices).
+    Returns the top-k n-grams by total occurrences with document
+    frequency, ordered (count desc, ngram asc) for determinism.
+
+    Scale shape: explode + two-level aggregate; the (gram) groupBy is
+    partially aggregated map-side so a boilerplate gram occurring 10^9
+    times ships one partial row per task, and the final top-k is a
+    TakeOrdered over gram cardinality, never the corpus."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct(id_col).alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+        .select("ngram", "n_occurrences", "n_docs")
+    )

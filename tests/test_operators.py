@@ -382,6 +382,54 @@ def test_textstats_sanity(spark):
     assert li[1] == "en" and li[2] == "de"
 
 
+def test_ngram_repetition_hand_computed(spark):
+    # doc 1: tokens [a b a b a] -> bigrams [a b, b a, a b, b a]:
+    #   4 total, 2 distinct, dup_frac 0.5, top count 2 -> top_frac 0.5
+    # doc 2: all-distinct bigrams -> dup 0, top 1/3
+    # doc 3: single token -> zero bigrams, fractions 0
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string")
+    r = {x["doc_id"]: x for x in
+         textstats.ngram_repetition(docs, n=2).collect()}
+    assert (r[1]["n_ngrams"], r[1]["n_distinct"]) == (4, 2)
+    assert r[1]["dup_frac"] == 0.5 and r[1]["top_frac"] == 0.5
+    assert r[2]["dup_frac"] == 0.0 and r[2]["top_frac"] == round(1 / 3, 4)
+    assert (r[3]["n_ngrams"], r[3]["dup_frac"], r[3]["top_frac"]) == (0, 0.0, 0.0)
+
+
+def test_top_ngrams_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "cookie notice here cookie notice here"),
+         (2, "cookie notice here plus unique tail"),
+         (3, "totally different words entirely")],
+        "doc_id long, text string")
+    top = textstats.top_ngrams(docs, n=3, k=3).collect()
+    assert top[0]["ngram"] == "cookie notice here"
+    assert top[0]["n_occurrences"] == 3 and top[0]["n_docs"] == 2
+    # ties broken by ngram asc
+    occs = [t["n_occurrences"] for t in top]
+    assert occs == sorted(occs, reverse=True)
+
+
+def test_line_dedup_multiline_first_occurrence(spark):
+    from lsh_apg_spark.operators import linedup
+    # boilerplate line B appears in docs 1,2,3; doc 3 is ONLY
+    # boilerplate and must disappear; blank lines never count
+    docs = spark.createDataFrame(
+        [(1, "B\nunique one\nB"),     # first B (pos 0) wins; second B in
+                                       # the SAME doc is also a repeat
+         (2, "unique two\nB\n\nunique three"),
+         (3, "B")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in linedup.line_dedup(docs).collect()}
+    assert out[1]["text"] == "B\nunique one"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+    assert out[2]["text"] == "unique two\nunique three"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (2, 1)
+    assert 3 not in out  # fully-boilerplate doc removed
+
+
 @pytest.fixture(scope="module")
 def unnorm_embeddings(spark):
     """Clustered UNNORMALIZED vectors: cluster magnitudes span ~1-8x,
