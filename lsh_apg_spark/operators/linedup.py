@@ -49,7 +49,13 @@ def line_dedup(docs: DataFrame, delim: str = "\n", id_col: str = "doc_id",
         .select("lkey", F.col("w.d").alias(id_col), F.col("w.p").alias("pos"))
     )
     kept = lines.join(winners, ["lkey", id_col, "pos"], "left_semi")
-    per_doc = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_lines"))
+    # per-doc line counts come from a pure array expression on the
+    # source row (no second explode/groupBy pass over the corpus)
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(F.filter(
+            F.split(F.col(text_col), delim, -1),
+            lambda s: F.length(F.trim(s)) > 0)).alias("_n_lines"))
     rebuilt = (
         kept.groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("pos", "line"))).alias("ls"))

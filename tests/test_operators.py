@@ -430,6 +430,38 @@ def test_line_dedup_multiline_first_occurrence(spark):
     assert 3 not in out  # fully-boilerplate doc removed
 
 
+def test_line_dedup_invariants_seeded_corpus(spark):
+    from lsh_apg_spark.operators import linedup
+    # 60 docs drawing 1-8 lines from a 25-line pool -> heavy cross-doc
+    # repetition; check the global invariants of keep-first dedup
+    rng = np.random.Generator(np.random.PCG64(7))
+    pool = [f"line {i} body" for i in range(25)]
+    rows = []
+    for d in range(60):
+        k = int(rng.integers(1, 9))
+        rows.append((d, "\n".join(
+            pool[int(i)] for i in rng.integers(0, len(pool), k))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = linedup.line_dedup(docs).collect()
+
+    # every distinct line of the corpus survives exactly once, corpus-wide
+    seen: list[str] = []
+    for r in out:
+        seen.extend(r["text"].split("\n"))
+    all_lines = {ln for _, t in rows for ln in t.split("\n")}
+    assert sorted(seen) == sorted(all_lines)
+
+    orig = dict(rows)
+    for r in out:
+        kept_lines = r["text"].split("\n")
+        src = orig[r["doc_id"]].split("\n")
+        # kept lines preserve the doc's original order
+        it = iter(src)
+        assert all(ln in it for ln in kept_lines)
+        assert r["n_kept"] == len(kept_lines)
+        assert r["n_kept"] + r["n_dropped"] == len(src)
+
+
 @pytest.fixture(scope="module")
 def unnorm_embeddings(spark):
     """Clustered UNNORMALIZED vectors: cluster magnitudes span ~1-8x,
