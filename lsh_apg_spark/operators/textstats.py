@@ -112,6 +112,18 @@ def dataset_profile(docs: DataFrame, group_col: str = "lang",
     )
 
 
+def ngrams_col(text: Column | str, n: int) -> Column:
+    """Word n-grams of `text` as an array of space-joined strings (pure
+    JVM array expression; empty array when the doc has < n tokens)."""
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_repetition(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Within-document n-gram repetition score — the Gopher-style
@@ -127,13 +139,7 @@ def ngram_repetition(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
     `top_frac` needs a shuffle — groupBy (doc, gram) then (doc), both
     partially aggregated map-side, keyed by doc so no hot key can
     exceed one document's n-grams."""
-    toks = tokens_col(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = ngrams_col(text_col, n)
     base = docs.select(F.col(id_col), grams.alias("_grams")).select(
         id_col,
         F.size("_grams").alias("n_ngrams"),
@@ -170,13 +176,7 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
     partially aggregated map-side so a boilerplate gram occurring 10^9
     times ships one partial row per task, and the final top-k is a
     TakeOrdered over gram cardinality, never the corpus."""
-    toks = tokens_col(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = ngrams_col(text_col, n)
     return (
         docs.select(F.col(id_col), F.explode(grams).alias("ngram"))
         .groupBy("ngram")

@@ -83,6 +83,21 @@ def test_pair_generation_is_joinless_and_jvm_only(spark):
     assert "EvalPython" not in plan, "Python UDF in pair expansion"
 
 
+def test_webtext_ops_are_jvm_only(spark, docs):
+    """The round-4 curation operators (n-gram repetition / boilerplate
+    mining / line dedup) must stay pure JVM — they run over the full
+    corpus upstream of dedup, so any Python UDF here is a hot-path
+    regression — and line_dedup's scan must prune to (doc_id, text)."""
+    from lsh_apg_spark.operators import linedup, textstats
+
+    for df in (textstats.ngram_repetition(docs, n=2),
+               textstats.top_ngrams(docs, n=3, k=20),
+               linedup.line_dedup(docs)):
+        assert "EvalPython" not in explain.simple_plan(df)
+    cols = explain.scan_read_schema(linedup.line_dedup(docs))
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
 def test_codegen_covers_relational_stages(spark, docs):
     agg = docs.groupBy("lang").agg(F.avg("n_chars").alias("a"))
     assert explain.codegen_stage_count(agg) >= 1
