@@ -348,10 +348,14 @@ def _q_ann_graph_incr(spark, sf):
 
 
 def _q_ann_ivf(spark, sf):
-    """IVF-bucketed ANN (rows-only: learned quantizer, seeded)."""
+    """IVF-bucketed ANN (rows-only: learned quantizer, seeded).
+    Explicit knobs: this entry is also a timed bench row, so it must
+    not pay the one-shot auto-calibration probe on every invocation
+    (ann.calibrate_ivf_knobs has its own test + clustered bench row)."""
     e = _emb(spark, sf)
     queries = e.filter(F.col("vec_id") < 20)
-    return ann.ivf_topk(queries, e, k=5).orderBy("query_id", "rank")
+    return ann.ivf_topk(queries, e, k=5, n_cells=32, nprobe=16) \
+        .orderBy("query_id", "rank")
 
 
 def _q_ann_diverse(spark, sf):

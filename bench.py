@@ -132,7 +132,10 @@ def _eval_ann_corpus(spark, e, n_queries: int = 20, dim: int = 64,
     out: dict = {"graph_build_sec": build_sec}
     variants = {
         "lsh": lambda s: ann.lsh_topk(q, e, k=10, dim=dim, stats=s),
-        "ivf": lambda s: ann.ivf_topk(q, e, k=10, stats=s),
+        # explicit knobs = the r3 baseline row (kept comparable across
+        # rounds); the auto-calibrated path gets its own clustered row
+        "ivf": lambda s: ann.ivf_topk(q, e, k=10, n_cells=32, nprobe=16,
+                                      stats=s),
         "graph": lambda s: ann.graph_topk(q, e, k=10, dim=dim,
                                           edges=edges, stats=s),
         "graph_unseeded": lambda s: ann.graph_topk(
@@ -214,6 +217,11 @@ def bench_ann_eval_clustered(spark, n_vecs: int = 20_000) -> dict:
         "lsh_calibrated": lambda q, e_, s: ann.lsh_topk(
             q, e_, k=10, dim=64, bands=16, rows_per_band=8,
             num_probes=2, stats=s),
+        # knobs=None -> calibrate_ivf_knobs picks (n_cells, nprobe)
+        # from measured cell-rank recall (4k-corpus dry run: cost
+        # 0.49 -> 0.03 at recall 0.94)
+        "ivf_calibrated": lambda q, e_, s: ann.ivf_topk(
+            q, e_, k=10, stats=s),
     }
     return _eval_ann_corpus(spark, e, n_queries=50, extra_variants=extra)
 

@@ -25,6 +25,7 @@ src/e2lsh.h:162)."""
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from collections.abc import Iterator
@@ -1141,12 +1142,142 @@ def train_ivf_centroids(
     return centroids
 
 
+def _cell_order(vecs: np.ndarray, centroids: np.ndarray,
+                metric: str) -> np.ndarray:
+    """Full centroid ranking per vector — the driver-side twin of
+    _nearest_cells_udf's scoring (must stay numerically identical)."""
+    if metric == "cosine":
+        c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        v = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = v @ c.T
+    else:
+        sims = 2.0 * (vecs @ centroids.T) - np.einsum(
+            "ij,ij->i", centroids, centroids)
+    return np.argsort(-sims, axis=1)
+
+
+def calibrate_ivf_knobs(
+    corpus: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    seed: int = 42,
+    target_recall: float = 0.95,
+    max_cost: float = 0.5,
+    n_probe_queries: int = 32,
+    n_cells: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Choose (n_cells, nprobe) from measured corpus statistics — the
+    IVF twin of calibrate_lsh_knobs (the reference ships hand-tuned
+    per-dataset knobs, src/basis.cpp:8-31, src/main.cpp:20-44; here
+    they derive at run time):
+
+    1. n_cells defaults to the nearest power of two to sqrt(N)
+       (clamped [8, 256] — the standard inverted-file sizing rule), or
+       the caller's explicit value;
+    2. the quantizer trains once (train_ivf_centroids), and one
+       assignment pass gives the cell-size histogram;
+    3. a seeded probe sample's exact top-k (the same brute-force
+       oracle join the bench uses) gives golden neighbors; for each,
+       the rank of its cell in the query's centroid ordering is
+       computed driver-side with the UDF's exact scoring (_cell_order),
+       so recall(nprobe) = fraction of golden neighbors whose cell
+       ranks < nprobe, and cost(nprobe) = mean probed-cell mass / N
+       from the histogram — both measured, no model;
+    4. the smallest nprobe with recall >= target AND cost <= max_cost
+       wins. If none exists (a structure-less corpus where cells carry
+       no signal), the documented defaults return with
+       ``calibrated=False``, matching the uncalibrated engine.
+
+    Returns {"n_cells", "nprobe", "calibrated", "est_recall",
+    "est_cost", "centroids"} — centroids ride along so the caller
+    never trains twice. Deterministic given (corpus, seed)."""
+    n = corpus.count()
+    fallback = {"n_cells": n_cells if n_cells is not None else 32,
+                "nprobe": min(16, n_cells) if n_cells is not None else 16,
+                "calibrated": False}
+    if n < max(64, 4 * k):
+        return fallback
+    if n_cells is None:
+        n_cells = 2 ** int(round(math.log2(
+            min(256.0, max(8.0, math.sqrt(n))))))
+
+    centroids = train_ivf_centroids(
+        corpus, n_cells, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, metric=metric)
+
+    assign1 = _nearest_cells_udf(centroids, 1, metric)
+    hist_rows = (
+        corpus.select(F.col(vec_col).alias("_v"))
+        .withColumn("cell", F.element_at(assign1(F.col("_v")), 1))
+        .groupBy("cell").count().collect()
+    )
+    sizes = np.zeros(n_cells, dtype=np.float64)
+    for r in hist_rows:
+        sizes[r["cell"]] = r["count"]
+
+    probe = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h", "i").limit(n_probe_queries).collect()
+    )
+    probe_ids = [r["i"] for r in probe]
+    qv = np.array([r["v"] for r in probe], dtype=np.float64)
+    qdf = corpus.filter(F.col(id_col).isin(probe_ids))
+    golden = (
+        bruteforce_topk(qdf, corpus, k=k, id_col=id_col,
+                        vec_col=vec_col, metric=metric)
+        .join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("_nv")), "neighbor_id")
+        .select("query_id", "_nv").collect()
+    )
+    if not golden:
+        return fallback
+    q_order = _cell_order(qv, centroids, metric)  # (Q, n_cells)
+    q_pos = {i: j for j, i in enumerate(probe_ids)}
+    # rank[cell] per query: inverse permutation of the ordering
+    q_rank = np.empty_like(q_order)
+    rows = np.arange(q_order.shape[0])[:, None]
+    q_rank[rows, q_order] = np.arange(n_cells)[None, :]
+    nv = np.array([r["_nv"] for r in golden], dtype=np.float64)
+    n_cell = _cell_order(nv, centroids, metric)[:, 0]
+    pair_rank = np.array([
+        q_rank[q_pos[r["query_id"]], c]
+        for r, c in zip(golden, n_cell)], dtype=np.int64)
+
+    probed_mass = np.cumsum(sizes[q_order], axis=1)  # (Q, n_cells)
+    for p in range(1, n_cells + 1):
+        rec = float(np.mean(pair_rank < p))
+        cost = float(np.mean(probed_mass[:, p - 1]) / n)
+        if rec >= target_recall:
+            if cost > max_cost:
+                break  # selectivity structurally out of reach
+            # +1 probe margin: unlike the LSH collision model (which
+            # systematically UNDERESTIMATES realized recall), this
+            # estimate is an unbiased ~32-query sample — noise cuts
+            # both ways, and one extra cell is cheap insurance
+            # (measured 4k clustered: p=1 realized 0.938 vs est 0.959;
+            # p=2 clears the target at cost 0.03)
+            p_m = min(p + 1, n_cells)
+            cost_m = float(np.mean(probed_mass[:, p_m - 1]) / n)
+            if cost_m > max_cost:
+                p_m, cost_m = p, cost
+            return {"n_cells": n_cells, "nprobe": p_m, "calibrated": True,
+                    "est_recall": round(float(np.mean(pair_rank < p_m)), 4),
+                    "est_cost": round(cost_m, 4),
+                    "centroids": centroids}
+    return fallback
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
-    n_cells: int = 32,
-    nprobe: int = 16,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
     iters: int = 2,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -1161,15 +1292,32 @@ def ivf_topk(
     buckets; at 10^12 scale the corpus side would be written out
     bucketed by `cell` so a query touches nprobe/n_cells of the data.
 
-    Default knobs (32 cells, 16 probes) are calibrated on the driver's
-    sf0.1 embeddings (scripts/tune_ann.py: recall 0.83 at cost 0.50) —
-    that corpus is near-RANDOM (no cluster structure for the quantizer
-    to exploit), so nprobe/n_cells = 1/2 is what recall >= 0.8 costs
-    there; on clustered corpora the same defaults are far more
-    selective (the bench's clustered eval demonstrates it)."""
-    centroids = train_ivf_centroids(
-        corpus, n_cells, iters=iters, seed=seed,
-        id_col=id_col, vec_col=vec_col, metric=metric)
+    Knobs left None self-calibrate (calibrate_ivf_knobs — measured
+    cell-rank recall of sampled golden neighbors, like lsh_topk's auto
+    path); when the corpus has no cell structure for the quantizer to
+    exploit (the driver's near-random sf embeddings) the calibration
+    falls back to the broad defaults (32 cells, 16 probes — recall
+    0.83 at cost 0.50 there, scripts/tune_ann.py: nprobe/n_cells = 1/2
+    is what recall >= 0.8 structurally costs on that corpus).
+    Production batch jobs should calibrate once and pass explicit
+    knobs; the auto path pays the quantizer training it needs anyway
+    plus one histogram pass and a ~32-query brute-force probe."""
+    centroids = None
+    if n_cells is None or nprobe is None:
+        kn = calibrate_ivf_knobs(
+            corpus, k=k, metric=metric, seed=seed, n_cells=n_cells,
+            iters=iters, id_col=id_col, vec_col=vec_col)
+        n_cells = kn["n_cells"]
+        nprobe = nprobe if nprobe is not None else kn["nprobe"]
+        centroids = kn.get("centroids")
+        if stats is not None:
+            stats["calibrated"] = kn["calibrated"]
+            stats["n_cells"] = n_cells
+            stats["nprobe"] = nprobe
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells, iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col, metric=metric)
 
     assign1 = _nearest_cells_udf(centroids, 1, metric)
     c = (

@@ -203,6 +203,35 @@ def test_ivf_topk_recall_and_determinism(embeddings):
         sorted(map(tuple, again.collect()))
 
 
+def test_ivf_auto_calibration_selective_on_clustered(embeddings):
+    """calibrate_ivf_knobs on clustered data must pick a probe budget
+    far below the broad defaults (nprobe/n_cells = 1/2) while the
+    auto-calibrated ivf_topk keeps recall: the runtime analogue of the
+    reference's hand-tuned per-dataset knobs (src/basis.cpp:8-31)."""
+    kn = ann.calibrate_ivf_knobs(embeddings, k=5)
+    assert kn["calibrated"] is True
+    assert kn["nprobe"] <= kn["n_cells"] // 4, kn
+    assert kn["est_cost"] < 0.3, kn
+
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact = ann.bruteforce_topk(q, embeddings, k=5)
+    stats: dict = {}
+    approx = ann.ivf_topk(q, embeddings, k=5, stats=stats)
+    assert stats["calibrated"] is True
+    rec = ann.ann_recall(approx, exact)
+    assert rec >= 0.9, f"calibrated IVF recall {rec:.3f}"
+    # deterministic given (corpus, seed)
+    kn2 = ann.calibrate_ivf_knobs(embeddings, k=5)
+    assert (kn2["n_cells"], kn2["nprobe"]) == (kn["n_cells"], kn["nprobe"])
+
+
+def test_ivf_calibration_falls_back_on_tiny_corpus(embeddings):
+    tiny = embeddings.filter(F.col("vec_id") < 40)
+    kn = ann.calibrate_ivf_knobs(tiny, k=5)
+    assert kn["calibrated"] is False
+    assert (kn["n_cells"], kn["nprobe"]) == (32, 16)
+
+
 def test_diversified_topk_rng_rule(spark):
     """Deterministic geometry for the RNG rule (chooseNN_div,
     src/divGraph.h:576-628): B sits right next to A (closer to A than
