@@ -78,6 +78,14 @@ def _q_fingerprint(spark, sf):
         .select("doc_id", "md5").orderBy("doc_id")
 
 
+def _q_quality_filter(spark, sf):
+    # thresholds picked so the synthetic corpus splits (median
+    # stopword_ratio 0.061, dup-bigram p90 0.065, tokens 10-99)
+    return textstats.quality_filter(
+        _docs(spark, sf), min_tokens=30, min_stopword_ratio=0.05,
+        max_dup_bigram_frac=0.05).orderBy("doc_id")
+
+
 def _q_ngram_repetition(spark, sf):
     return textstats.ngram_repetition(_docs(spark, sf), n=2).orderBy("doc_id")
 
@@ -483,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "ngram_repetition": _q_ngram_repetition,
+        "quality_filter": _q_quality_filter,
         "top_ngrams": _q_top_ngrams,
         "line_dedup": _q_line_dedup,
         "dataset_profile": _q_profile,
@@ -650,6 +659,43 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id
         """,
+        "quality_filter": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                           AS grams
+                FROM t
+            ), m AS (
+                SELECT t.doc_id AS doc_id,
+                       len(toks) AS ntoks,
+                       length(text)::DOUBLE / greatest(len(toks), 1) AS mlen,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                           / greatest(length(text), 1) AS alpha,
+                       len(list_filter(toks, x -> list_contains({en}, x)))::DOUBLE
+                           / greatest(len(toks), 1) AS stopr,
+                       round((len(grams) - len(list_distinct(grams)))::DOUBLE
+                             / greatest(len(grams), 1), 4) AS dupf
+                FROM t JOIN g ON t.doc_id = g.doc_id
+            ), r AS (
+                SELECT doc_id, concat_ws(',',
+                    CASE WHEN ntoks < 30 THEN 'too_few_tokens' END,
+                    CASE WHEN ntoks > 100000 THEN 'too_many_tokens' END,
+                    CASE WHEN mlen < 2.0 OR mlen > 12.0
+                         THEN 'mean_token_len_out_of_band' END,
+                    CASE WHEN alpha < 0.5 THEN 'low_alpha_ratio' END,
+                    CASE WHEN stopr < 0.05 THEN 'low_stopword_ratio' END,
+                    CASE WHEN dupf > 0.05 THEN 'repetitive_bigrams' END)
+                    AS reasons
+                FROM m
+            )
+            SELECT doc_id, reasons = '' AS keep, reasons
+            FROM r ORDER BY doc_id
+        """.format(en=_STOP_SQL["en"]),
         "ngram_repetition": """
             WITH t AS (
                 SELECT doc_id,

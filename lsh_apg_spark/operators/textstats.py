@@ -186,3 +186,54 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
         .limit(k)
         .select("ngram", "n_occurrences", "n_docs")
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.02,
+    max_dup_bigram_frac: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composite document quality gate — the Gopher/C4-style rule pass
+    (Rae et al. 2021 Table A1; Raffel et al. 2020 §2.2) that web-text
+    pipelines run before dedup: token-count bounds, mean-token-length
+    band, alphabetic-character ratio, stopword floor, and the
+    duplicate-bigram ceiling from ngram_repetition. Returns every doc
+    with ``keep`` plus a deterministic comma-joined ``reasons`` string
+    naming each failed rule (empty when kept) so drops are auditable.
+
+    Scale shape: every rule is a JVM expression over the row; the only
+    shuffle is ngram_repetition's doc-keyed aggregate for the
+    duplicate-bigram fraction."""
+    toks = tokens_col(text_col)
+    n_toks = F.size(toks)
+    mean_len = F.length(text_col) / F.greatest(n_toks, F.lit(1))
+    alpha = (F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+             / F.greatest(F.length(text_col), F.lit(1)))
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+                  / F.greatest(n_toks, F.lit(1)))
+    rep = ngram_repetition(docs, n=2, id_col=id_col, text_col=text_col) \
+        .select(id_col, "dup_frac")
+    rules = [
+        ("too_few_tokens", n_toks < min_tokens),
+        ("too_many_tokens", n_toks > max_tokens),
+        ("mean_token_len_out_of_band",
+         (mean_len < min_mean_token_len) | (mean_len > max_mean_token_len)),
+        ("low_alpha_ratio", alpha < min_alpha_ratio),
+        ("low_stopword_ratio", stop_ratio < min_stopword_ratio),
+        ("repetitive_bigrams", F.col("dup_frac") > max_dup_bigram_frac),
+    ]
+    reasons = F.concat_ws(",", *[
+        F.when(cond, F.lit(name)) for name, cond in rules])
+    return (
+        docs.join(rep, id_col)
+        .select(F.col(id_col), reasons.alias("reasons"))
+        .select(id_col, (F.col("reasons") == "").alias("keep"), "reasons")
+    )

@@ -411,6 +411,28 @@ def test_textstats_sanity(spark):
     assert li[1] == "en" and li[2] == "de"
 
 
+def test_quality_filter_rules(spark):
+    good = ("the quick brown fox jumps over a lazy dog and then it "
+            "runs far away for that is what foxes do in the wild")
+    docs = spark.createDataFrame(
+        [(1, good),                          # passes every rule
+         (2, "the of and is"),               # too few tokens
+         (3, "the supercalifragilistic " * 10 + "of extraordinarily "
+             "incomprehensibilities appear"),  # long mean token length
+         (4, "0 1 2 3 4 5 6 7 8 9 " * 2),    # no alpha, no stopwords
+         (5, ("the cat sat on a mat " * 6))],  # repetitive bigrams
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.quality_filter(
+        docs, min_tokens=8, max_dup_bigram_frac=0.5).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert "too_few_tokens" in out[2]["reasons"]
+    assert "mean_token_len_out_of_band" in out[3]["reasons"]
+    assert "low_alpha_ratio" in out[4]["reasons"]
+    assert "low_stopword_ratio" in out[4]["reasons"]
+    assert "repetitive_bigrams" in out[5]["reasons"]
+    assert not out[5]["keep"]
+
+
 def test_ngram_repetition_hand_computed(spark):
     # doc 1: tokens [a b a b a] -> bigrams [a b, b a, a b, b a]:
     #   4 total, 2 distinct, dup_frac 0.5, top count 2 -> top_frac 0.5
