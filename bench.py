@@ -79,7 +79,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "simhash_neardup", "decontaminate", "ann_topk_bruteforce",
         "ann_topk_lsh", "ann_topk_lsh_l2", "ann_topk_graph",
         "ann_topk_ivf",
-        "token_stats", "lang_id", "pricing_summary", "revenue_by_nation",
+        "token_stats", "lang_id", "quality_filter", "line_dedup",
+        "pricing_summary", "revenue_by_nation",
     ]
     # prebuild ONLY the kNN graph index OUTSIDE the timed region — the
     # reference's own bench loads/builds the index before its query

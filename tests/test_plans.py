@@ -92,6 +92,7 @@ def test_webtext_ops_are_jvm_only(spark, docs):
 
     for df in (textstats.ngram_repetition(docs, n=2),
                textstats.top_ngrams(docs, n=3, k=20),
+               textstats.quality_filter(docs),
                linedup.line_dedup(docs)):
         assert "EvalPython" not in explain.simple_plan(df)
     cols = explain.scan_read_schema(linedup.line_dedup(docs))
