@@ -433,29 +433,36 @@ def lsh_topk(
     performed — reference cost counter, src/alg.h:130) and
     n_bucket_overflow (corpus bucket rows dropped by the cap).
 
-    When any of bands / rows_per_band / num_probes is None (the
-    default), the missing knobs come from calibrate_lsh_knobs — the
-    runtime setW analogue: a seeded corpus probe picks the cheapest
-    config whose modeled recall clears 0.95, falling back to the
-    documented broad defaults (8x4, 2 probes) on corpora with no
-    neighbor/background separation. Production batch jobs should
-    calibrate ONCE and pass explicit knobs; the auto path pays one
-    small probe (a TakeOrdered sample + one brute-force pass for
-    ~32 queries) per call. With metric="l2_sq" the calibrated bucket
-    width overrides ``w`` as well."""
-    if bands is None or rows_per_band is None or num_probes is None:
+    When ALL of bands / rows_per_band / num_probes are None (the
+    default), the knobs come from calibrate_lsh_knobs — the runtime
+    setW analogue: a seeded corpus probe picks the cheapest config
+    whose modeled recall clears 0.95, falling back to the documented
+    broad defaults (8x4, 2 probes) on corpora with no
+    neighbor/background separation. If ANY knob is passed explicitly,
+    calibration is skipped and the remaining knobs take the documented
+    defaults — the calibrated triple is jointly optimized, so grafting
+    one caller knob onto it would run a config whose modeled
+    recall/cost was never evaluated while stats reported the discarded
+    config's estimates. Production batch jobs should calibrate ONCE
+    and pass explicit knobs; the auto path pays one small probe (a
+    TakeOrdered sample + one brute-force pass for ~32 queries) per
+    call. With metric="l2_sq" the calibrated bucket width overrides
+    ``w`` as well."""
+    if bands is None and rows_per_band is None and num_probes is None:
         kn = calibrate_lsh_knobs(
             corpus, dim=dim, k=k, metric=metric, seed=seed,
             w_default=w, id_col=id_col, vec_col=vec_col)
-        bands = bands if bands is not None else kn["bands"]
-        rows_per_band = (rows_per_band if rows_per_band is not None
-                         else kn["rows_per_band"])
-        num_probes = (num_probes if num_probes is not None
-                      else kn["num_probes"])
+        bands = kn["bands"]
+        rows_per_band = kn["rows_per_band"]
+        num_probes = kn["num_probes"]
         if metric != "cosine" and kn["calibrated"]:
             w = kn["w"]
         if stats is not None:
             stats["calibration"] = kn
+    else:
+        bands = 8 if bands is None else bands
+        rows_per_band = 4 if rows_per_band is None else rows_per_band
+        num_probes = 2 if num_probes is None else num_probes
     cb = _bucket_rows(corpus, "neighbor", dim, bands, rows_per_band,
                       seed, num_probes, id_col, vec_col, metric, w)
     if bucket_cap is not None:
@@ -485,17 +492,20 @@ def lsh_topk(
         # skip the probe-key expansion entirely — probe cost stops
         # being unconditionally worst-case. One declarative plan, no
         # driver round-trips: the per-query count is a groupBy, the
-        # skip is a semi-join.
+        # skip is an anti-join against the OVER-budget set (not a
+        # semi-join against the under-budget set: a query with ZERO
+        # base collisions has no base_cands row at all, and those are
+        # exactly the queries that need multi-probe most).
         base_cands = _pairs(qb.filter(~F.col("_probe")).drop("_probe"))
-        under = (
+        over = (
             base_cands.groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") < probe_budget)
+            .filter(F.col("_n") >= probe_budget)
             .select("query_id")
         )
         probe_cands = _pairs(
             qb.filter(F.col("_probe")).drop("_probe")
-            .join(under, "query_id", "left_semi"))
+            .join(over, "query_id", "left_anti"))
         cands = base_cands.unionByName(probe_cands) \
             .dropDuplicates(["query_id", "neighbor_id"])
     else:
@@ -1187,9 +1197,11 @@ def calibrate_ivf_knobs(
        so recall(nprobe) = fraction of golden neighbors whose cell
        ranks < nprobe, and cost(nprobe) = mean probed-cell mass / N
        from the histogram — both measured, no model;
-    4. the smallest nprobe with recall >= target AND cost <= max_cost
-       wins. If none exists (a structure-less corpus where cells carry
-       no signal), the documented defaults return with
+    4. the smallest nprobe whose one-sided 95% lower confidence bound
+       of mean per-query recall >= target AND cost <= max_cost wins
+       (the LCB, not the point estimate — see the admission-loop
+       comment). If none exists (a structure-less corpus where cells
+       carry no signal), the documented defaults return with
        ``calibrated=False``, matching the uncalibrated engine.
 
     Returns {"n_cells", "nprobe", "calibrated", "est_recall",
@@ -1249,24 +1261,47 @@ def calibrate_ivf_knobs(
         for r, c in zip(golden, n_cell)], dtype=np.int64)
 
     probed_mass = np.cumsum(sizes[q_order], axis=1)  # (Q, n_cells)
+    # Admission uses a one-sided 95% LOWER CONFIDENCE BOUND of mean
+    # per-QUERY recall, not the pooled point estimate: a query's k
+    # golden pairs hit or miss together when its neighborhood straddles
+    # a cell boundary, so the pooled estimate over ~32 sampled queries
+    # hides strong per-query correlation and overshoots on
+    # structure-less corpora (measured on the driver's near-random
+    # sf0.1 embeddings: pooled sample recall 0.95 at nprobe=13 vs
+    # 0.795 realized over fresh queries — exactly the cell-rank curve,
+    # so the mechanism transfers and the gap is pure sampling
+    # optimism). With the LCB the calibrator correctly reports
+    # selectivity out of reach there and falls back to the defaults
+    # (32/16, realized 0.83); on clustered corpora per-query variance
+    # is small and the choice is unchanged or +1 probe.
+    qids = np.array([q_pos[r["query_id"]] for r in golden],
+                    dtype=np.int64)
+    uq = np.unique(qids)
     for p in range(1, n_cells + 1):
-        rec = float(np.mean(pair_rank < p))
         cost = float(np.mean(probed_mass[:, p - 1]) / n)
-        if rec >= target_recall:
-            if cost > max_cost:
-                break  # selectivity structurally out of reach
-            # +1 probe margin: unlike the LSH collision model (which
-            # systematically UNDERESTIMATES realized recall), this
-            # estimate is an unbiased ~32-query sample — noise cuts
-            # both ways, and one extra cell is cheap insurance
-            # (measured 4k clustered: p=1 realized 0.938 vs est 0.959;
-            # p=2 clears the target at cost 0.03)
+        if cost > max_cost:
+            break  # cost is monotone in p: nothing later can be admitted
+        hit = (pair_rank < p).astype(np.float64)
+        per_q = np.array([hit[qids == j].mean() for j in uq])
+        rec = float(per_q.mean())
+        lcb = rec
+        if len(per_q) > 1:
+            lcb = rec - 1.645 * float(per_q.std(ddof=1)) / math.sqrt(
+                len(per_q))
+        if lcb >= target_recall:
+            # +1 probe insurance on top of the LCB admission: the LCB
+            # protects against SAMPLING optimism (which query set), the
+            # extra cell against TRANSFER drift (sampled queries' cell
+            # geometry vs fresh queries') — measured on the clustered
+            # fixture, LCB-admitted p alone realized 0.82 where p+1
+            # realizes >= 0.9 at negligible cost
             p_m = min(p + 1, n_cells)
             cost_m = float(np.mean(probed_mass[:, p_m - 1]) / n)
             if cost_m > max_cost:
                 p_m, cost_m = p, cost
             return {"n_cells": n_cells, "nprobe": p_m, "calibrated": True,
                     "est_recall": round(float(np.mean(pair_rank < p_m)), 4),
+                    "est_recall_lcb": round(lcb, 4),
                     "est_cost": round(cost_m, 4),
                     "centroids": centroids}
     return fallback
@@ -1466,7 +1501,12 @@ def diversified_topk(
     elif pool == "lsh":
         if dim is None:
             raise ValueError("pool='lsh' requires dim")
+        # documented-default knobs, not the auto-calibrated path: the
+        # pool stage should not pay a per-call calibration probe (a
+        # brute-force pass); callers wanting calibrated pooling can
+        # run calibrate_lsh_knobs once and build the pool themselves
         pooled = lsh_topk(queries, corpus, k=k * pool_factor, dim=dim,
+                          bands=8, rows_per_band=4, num_probes=2,
                           id_col=id_col, vec_col=vec_col)
     elif pool == "graph":
         if dim is None:

@@ -33,11 +33,19 @@ def line_dedup(docs: DataFrame, delim: str = "\n", id_col: str = "doc_id",
 
     Returns (id_col, text, n_kept, n_dropped) with `text` rebuilt from
     the kept lines joined by `delim`.
+
+    `delim` is a LITERAL separator (it is both split on and used to
+    rejoin): it is regex-quoted before reaching F.split, so
+    metacharacter delimiters like "." or "|" split literally instead
+    of silently exploding every character.
     """
+    # Java-regex literal quoting (Pattern.quote): wrap in \Q...\E,
+    # breaking out of any \E the delimiter itself contains
+    qdelim = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = (
         docs.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), delim, -1))
+            F.posexplode(F.split(F.col(text_col), qdelim, -1))
              .alias("pos", "line"))
         .filter(F.length(F.trim("line")) > 0)
         .withColumn("lkey", F.md5(F.col("line").cast("binary")))
@@ -54,7 +62,7 @@ def line_dedup(docs: DataFrame, delim: str = "\n", id_col: str = "doc_id",
     per_doc = docs.select(
         F.col(id_col),
         F.size(F.filter(
-            F.split(F.col(text_col), delim, -1),
+            F.split(F.col(text_col), qdelim, -1),
             lambda s: F.length(F.trim(s)) > 0)).alias("_n_lines"))
     rebuilt = (
         kept.groupBy(id_col)

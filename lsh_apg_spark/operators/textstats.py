@@ -208,9 +208,12 @@ def quality_filter(
     with ``keep`` plus a deterministic comma-joined ``reasons`` string
     naming each failed rule (empty when kept) so drops are auditable.
 
-    Scale shape: every rule is a JVM expression over the row; the only
-    shuffle is ngram_repetition's doc-keyed aggregate for the
-    duplicate-bigram fraction."""
+    Scale shape: every rule — including the duplicate-bigram fraction
+    — is a JVM array expression over the row: zero shuffles, zero
+    joins (an earlier form joined ngram_repetition's aggregate back to
+    the corpus, paying two full-corpus exchanges for a quantity that
+    is per-row derivable; dup_frac here is the same 4dp-rounded value
+    that operator emits)."""
     toks = tokens_col(text_col)
     n_toks = F.size(toks)
     mean_len = F.length(text_col) / F.greatest(n_toks, F.lit(1))
@@ -219,8 +222,9 @@ def quality_filter(
     stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
     stop_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
                   / F.greatest(n_toks, F.lit(1)))
-    rep = ngram_repetition(docs, n=2, id_col=id_col, text_col=text_col) \
-        .select(id_col, "dup_frac")
+    grams = ngrams_col(text_col, 2)
+    dup_frac = F.round((F.size(grams) - F.size(F.array_distinct(grams)))
+                       / F.greatest(F.size(grams), F.lit(1)), 4)
     rules = [
         ("too_few_tokens", n_toks < min_tokens),
         ("too_many_tokens", n_toks > max_tokens),
@@ -228,12 +232,11 @@ def quality_filter(
          (mean_len < min_mean_token_len) | (mean_len > max_mean_token_len)),
         ("low_alpha_ratio", alpha < min_alpha_ratio),
         ("low_stopword_ratio", stop_ratio < min_stopword_ratio),
-        ("repetitive_bigrams", F.col("dup_frac") > max_dup_bigram_frac),
+        ("repetitive_bigrams", dup_frac > max_dup_bigram_frac),
     ]
     reasons = F.concat_ws(",", *[
         F.when(cond, F.lit(name)) for name, cond in rules])
     return (
-        docs.join(rep, id_col)
-        .select(F.col(id_col), reasons.alias("reasons"))
+        docs.select(F.col(id_col), reasons.alias("reasons"))
         .select(id_col, (F.col("reasons") == "").alias("keep"), "reasons")
     )

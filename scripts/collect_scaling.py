@@ -35,9 +35,13 @@ def load_ledger() -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def has_clean_pair(runs: list[dict], lo: int, hi: int,
+def has_clean_pair(runs: list[dict], lo: int, hi: int, n_docs: int,
                    clean_steal: float) -> bool:
-    ok = {r["cpus"] for r in runs if r.get("steal_sec", 1e9) <= clean_steal}
+    # a clean pair must match the REQUESTED corpus size too — a ledger
+    # already holding clean 800k runs must not satisfy a 6.4M request
+    ok = {r["cpus"] for r in runs
+          if r.get("steal_sec", 1e9) <= clean_steal
+          and r.get("docs") == n_docs}
     return lo in ok and hi in ok
 
 
@@ -64,10 +68,10 @@ def main() -> None:
     runs = load_ledger()
     fresh: list[dict] = []
     for _ in range(pairs):
-        if not force and has_clean_pair(runs, lo, hi, clean_steal):
+        if not force and has_clean_pair(runs, lo, hi, n_docs, clean_steal):
             print(f"clean pair present (steal <= {clean_steal}s) — stopping")
             break
-        if force and has_clean_pair(fresh, lo, hi, clean_steal):
+        if force and has_clean_pair(fresh, lo, hi, n_docs, clean_steal):
             print(f"fresh clean pair measured (steal <= {clean_steal}s) — stopping")
             break
         for cpus in (lo, hi):
@@ -78,7 +82,7 @@ def main() -> None:
                 f.write(json.dumps(r) + "\n")
             print(json.dumps(r))
     print(f"ledger: {len(runs)} runs; clean pair: "
-          f"{has_clean_pair(runs, lo, hi, clean_steal)}")
+          f"{has_clean_pair(runs, lo, hi, n_docs, clean_steal)}")
 
 
 if __name__ == "__main__":

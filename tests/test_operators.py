@@ -481,6 +481,22 @@ def test_line_dedup_multiline_first_occurrence(spark):
     assert 3 not in out  # fully-boilerplate doc removed
 
 
+def test_line_dedup_metacharacter_delimiter(spark):
+    from lsh_apg_spark.operators import linedup
+    # delim is a LITERAL: a regex-metacharacter separator must split on
+    # the character itself, not on the regex it happens to spell ("|"
+    # as a regex splits between EVERY character; "." matches anything)
+    docs = spark.createDataFrame(
+        [(1, "alpha|beta|alpha"), (2, "beta|gamma")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           linedup.line_dedup(docs, delim="|").collect()}
+    assert out[1]["text"] == "alpha|beta"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+    assert out[2]["text"] == "gamma"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+
+
 def test_line_dedup_invariants_seeded_corpus(spark):
     from lsh_apg_spark.operators import linedup
     # 60 docs drawing 1-8 lines from a 25-line pool -> heavy cross-doc
@@ -766,6 +782,15 @@ def test_lsh_topk_adaptive_probe_budget(embeddings):
         (s_budget, s_full)
     rec = ann.ann_recall(budgeted, exact)
     assert rec >= 0.9, rec
+    # a budget no query can reach must be a no-op: identical candidate
+    # count to unbudgeted probing — in particular, queries with ZERO
+    # base-key candidates must still get their probe-key candidates
+    # (the original semi-join formulation silently dropped them)
+    s_huge: dict = {}
+    ann.lsh_topk(q, embeddings, k=5, probe_budget=10**9,
+                 stats=s_huge, **cfg)
+    assert s_huge["n_candidates"] == s_full["n_candidates"], \
+        (s_huge, s_full)
 
 
 def test_lsh_auto_calibration_clustered(embeddings):

@@ -95,6 +95,12 @@ def test_webtext_ops_are_jvm_only(spark, docs):
                textstats.quality_filter(docs),
                linedup.line_dedup(docs)):
         assert "EvalPython" not in explain.simple_plan(df)
+    # quality_filter is a pure per-row rule pass: its plan must carry
+    # no shuffle and no join (an earlier form self-joined the corpus
+    # to attach the per-doc dup-bigram fraction)
+    qf_plan = explain.simple_plan(textstats.quality_filter(docs))
+    assert "Exchange" not in qf_plan, qf_plan
+    assert "Join" not in qf_plan, qf_plan
     cols = explain.scan_read_schema(linedup.line_dedup(docs))
     assert set(cols) == {"doc_id", "text"}, cols
 
