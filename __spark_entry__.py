@@ -101,6 +101,30 @@ def _q_line_dedup(spark, sf):
     return linedup.line_dedup(_docs(spark, sf)).orderBy("doc_id")
 
 
+def _q_url_dedup(spark, sf):
+    """Canonical-URL dedup — the crawl-side keep-first pass that
+    precedes content dedup (operators/urlnorm.py). documents.parquet
+    carries no url column, so each doc derives one of four messy
+    recrawl spellings of its group's page (scheme case, www, default
+    port, fragment, tracking params; group = doc_id // 5) — the DuckDB
+    twin derives the identical strings, so the whole canonicalization
+    chain is hash-verified end-to-end."""
+    from lsh_apg_spark.operators import urlnorm
+    d = _docs(spark, sf).select("doc_id")
+    g = F.floor(F.col("doc_id") / 5).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://Example.COM/docs/"), g,
+                                F.lit("?utm_source=feed")))
+        .when(v == 1, F.concat(F.lit("HTTPS://www.example.com:443/docs/"), g))
+        .when(v == 2, F.concat(F.lit("https://example.com/docs/"), g,
+                               F.lit("/#section-2")))
+        .otherwise(F.concat(F.lit("https://example.com/docs/"), g,
+                            F.lit("?utm_campaign=x&utm_source=y"))))
+    return urlnorm.url_dedup(d.withColumn("url", url)).select(
+        "doc_id", "url", "canonical_url", "keep").orderBy("doc_id")
+
+
 def _q_profile(spark, sf):
     return textstats.dataset_profile(_docs(spark, sf)).orderBy("lang")
 
@@ -502,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "top_ngrams": _q_top_ngrams,
         "line_dedup": _q_line_dedup,
+        "url_dedup": _q_url_dedup,
         "dataset_profile": _q_profile,
         # multimodal plumbing
         "media_features": _q_media_features,
@@ -777,6 +802,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.doc_id, k.text, k.n_kept,
                    c.n_lines - k.n_kept AS n_dropped
             FROM k JOIN c USING (doc_id) ORDER BY doc_id
+        """,
+        "url_dedup": """
+            WITH raw AS (
+                SELECT doc_id,
+                       CASE doc_id % 4
+                         WHEN 0 THEN 'https://Example.COM/docs/'
+                                     || (doc_id // 5)::VARCHAR
+                                     || '?utm_source=feed'
+                         WHEN 1 THEN 'HTTPS://www.example.com:443/docs/'
+                                     || (doc_id // 5)::VARCHAR
+                         WHEN 2 THEN 'https://example.com/docs/'
+                                     || (doc_id // 5)::VARCHAR
+                                     || '/#section-2'
+                         ELSE 'https://example.com/docs/'
+                              || (doc_id // 5)::VARCHAR
+                              || '?utm_campaign=x&utm_source=y'
+                       END AS url
+                FROM documents
+            ), c AS (
+                SELECT doc_id, url,
+                       CASE WHEN regexp_extract(url,
+                                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
+                            THEN url
+                            ELSE lower(regexp_extract(url,
+                                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                              || '://'
+                              || regexp_replace(regexp_replace(
+                                   lower(regexp_extract(url,
+                                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)',
+                                     1)),
+                                   '^(www\\.)+', ''), ':(80|443)$', '')
+                              || regexp_replace(regexp_replace(
+                                   regexp_replace(regexp_replace(
+                                   regexp_replace(regexp_replace(
+                                   regexp_replace(url,
+                                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*',
+                                     ''),
+                                   '#.*$', ''),
+                                   '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*',
+                                   '', 'g'),
+                                   '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&',
+                                   '?'),
+                                   '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$',
+                                   ''),
+                                   '[?&]+$', ''),
+                                   '/+$', '')
+                       END AS canonical_url
+                FROM raw
+            )
+            SELECT c.doc_id, c.url, c.canonical_url,
+                   c.doc_id = w.keep_id AS keep
+            FROM c JOIN (SELECT canonical_url, min(doc_id) AS keep_id
+                         FROM c GROUP BY canonical_url) w
+                 USING (canonical_url)
+            ORDER BY doc_id
         """,
         "dataset_profile": """
             SELECT lang, count(*) AS n_docs,

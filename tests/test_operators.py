@@ -497,6 +497,54 @@ def test_line_dedup_metacharacter_delimiter(spark):
     assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
 
 
+def test_canonicalize_url_cases(spark):
+    from lsh_apg_spark.operators import urlnorm
+    cases = [
+        # the four messy spellings the url_dedup driver entry derives
+        ("https://Example.COM/docs/7?utm_source=feed",
+         "https://example.com/docs/7"),
+        ("HTTPS://www.example.com:443/docs/7", "https://example.com/docs/7"),
+        ("https://example.com/docs/7/#section-2",
+         "https://example.com/docs/7"),
+        ("https://example.com/docs/7?utm_campaign=x&utm_source=y",
+         "https://example.com/docs/7"),
+        # rule interactions
+        ("http://www.example.com:80/a?id=3&utm_medium=m&q=2#frag",
+         "http://example.com/a?id=3&q=2"),
+        ("https://example.com:8443/a/", "https://example.com:8443/a"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com/a?fbclid=abc", "https://example.com/a"),
+        ("https://example.com/a?ref=x&id=1", "https://example.com/a?id=1"),
+        ("not a url", "not a url"),  # no scheme -> passthrough
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    for r in df.select("url", "expected",
+                       urlnorm.canonicalize_url("url").alias("c")).collect():
+        assert r["c"] == r["expected"], (r["url"], r["c"])
+    # idempotence: canonical output re-canonicalizes to itself
+    for r in df.select(
+            urlnorm.canonicalize_url("url").alias("c1"),
+            urlnorm.canonicalize_url(
+                urlnorm.canonicalize_url("url")).alias("c2")).collect():
+        assert r["c1"] == r["c2"], r
+
+
+def test_url_dedup_keep_first(spark):
+    from lsh_apg_spark.operators import urlnorm
+    pages = spark.createDataFrame(
+        [(1, "https://A.com/x?utm_source=s"), (2, "https://a.com/x"),
+         (3, "HTTP://www.a.com:80/x/"), (4, "https://a.com/y")],
+        "doc_id long, url string")
+    out = {r["doc_id"]: r for r in urlnorm.url_dedup(pages).collect()}
+    assert out[1]["keep"] is True     # smallest doc_id of the https group
+    assert out[2]["keep"] is False    # recrawl of doc 1's canonical form
+    assert out[3]["keep"] is True     # http != https: a distinct page
+    assert out[4]["keep"] is True
+    assert out[1]["canonical_url"] == out[2]["canonical_url"] \
+        == "https://a.com/x"
+    assert out[3]["canonical_url"] == "http://a.com/x"
+
+
 def test_line_dedup_invariants_seeded_corpus(spark):
     from lsh_apg_spark.operators import linedup
     # 60 docs drawing 1-8 lines from a 25-line pool -> heavy cross-doc

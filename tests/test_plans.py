@@ -101,6 +101,17 @@ def test_webtext_ops_are_jvm_only(spark, docs):
     qf_plan = explain.simple_plan(textstats.quality_filter(docs))
     assert "Exchange" not in qf_plan, qf_plan
     assert "Join" not in qf_plan, qf_plan
+    # URL canonicalization is a pure per-row regexp chain; url_dedup
+    # adds only its keep-first aggregate + join back — no Python
+    from lsh_apg_spark.operators import urlnorm
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://example.com/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    canon_plan = explain.simple_plan(
+        pages.select(urlnorm.canonicalize_url("url")))
+    assert "Exchange" not in canon_plan and "EvalPython" not in canon_plan
+    assert "EvalPython" not in explain.simple_plan(urlnorm.url_dedup(pages))
     cols = explain.scan_read_schema(linedup.line_dedup(docs))
     assert set(cols) == {"doc_id", "text"}, cols
 
