@@ -820,36 +820,40 @@ def oracle_sql() -> dict[str, str]:
                               || '?utm_campaign=x&utm_source=y'
                        END AS url
                 FROM documents
+            ), parts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                           '^(www\\.)+', '') AS host0,
+                       regexp_replace(regexp_replace(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                           '#.*$', '') AS rest
+                FROM raw
+            ), comp AS (
+                SELECT doc_id, url, scheme,
+                       CASE WHEN scheme = 'http'
+                              THEN regexp_replace(host0, ':80$', '')
+                            WHEN scheme = 'https'
+                              THEN regexp_replace(host0, ':443$', '')
+                            ELSE host0 END AS host,
+                       regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                                      '/+$', '') AS path,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_extract(rest, '^[^?]*\\?(.*)$', 1),
+                           '&(utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+                           '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&', ''),
+                           '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', '') AS q
+                FROM parts
             ), c AS (
                 SELECT doc_id, url,
-                       CASE WHEN regexp_extract(url,
-                                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
-                            THEN url
-                            ELSE lower(regexp_extract(url,
-                                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-                              || '://'
-                              || regexp_replace(regexp_replace(
-                                   lower(regexp_extract(url,
-                                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)',
-                                     1)),
-                                   '^(www\\.)+', ''), ':(80|443)$', '')
-                              || regexp_replace(regexp_replace(
-                                   regexp_replace(regexp_replace(
-                                   regexp_replace(regexp_replace(
-                                   regexp_replace(url,
-                                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*',
-                                     ''),
-                                   '#.*$', ''),
-                                   '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*',
-                                   '', 'g'),
-                                   '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&',
-                                   '?'),
-                                   '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$',
-                                   ''),
-                                   '[?&]+$', ''),
-                                   '/+$', '')
+                       CASE WHEN scheme = '' THEN url
+                            ELSE scheme || '://' || host || path ||
+                                 CASE WHEN q = '' THEN ''
+                                      ELSE '?' || q END
                        END AS canonical_url
-                FROM raw
+                FROM comp
             )
             SELECT c.doc_id, c.url, c.canonical_url,
                    c.doc_id = w.keep_id AS keep

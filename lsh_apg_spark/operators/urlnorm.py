@@ -30,40 +30,53 @@ TRACKING_PARAMS = "utm_[a-z]+|fbclid|gclid|ref"
 
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical form of an absolute http(s) URL, as a pure column
-    expression. Rules (each a single portable regex step):
+    expression. The URL is decomposed into scheme / host / path /
+    query (fragment discarded) and each component is normalized
+    independently — rules never leak across component boundaries (a
+    trailing slash inside a query VALUE is data; a trailing slash on
+    the path is not):
 
     1. scheme and host lowercase; ``www.`` prefix dropped
-    2. explicit default ports ``:80`` / ``:443`` dropped
+    2. the scheme's OWN default port dropped (``:80`` for http,
+       ``:443`` for https — https://host:80 is a different endpoint
+       and stays distinct)
     3. fragment (``#...``) dropped
-    4. tracking query params (TRACKING_PARAMS) dropped — three
-       constant-replacement steps (``&p=v`` anywhere, ``?p=v&`` at the
-       query head, ``?p=v`` alone) so no regex BACKREFERENCE is needed:
-       replacement syntax is the one regex feature Java (Spark) and
-       RE2 (DuckDB) disagree on, and oracle portability is a design
-       constraint here
-    5. trailing separators dropped (bare ``?``/``&`` tails, trailing
-       slashes): ``.../path/`` == ``.../path`` and a bare host is
-       represented without ``/``
+    4. tracking params (TRACKING_PARAMS) dropped from the query —
+       three constant-replacement steps (``&p=v`` anywhere, ``p=v&``
+       at the head, ``p=v`` alone) so no regex BACKREFERENCE is
+       needed: replacement syntax is the one regex feature Java
+       (Spark) and RE2 (DuckDB) disagree on, and oracle portability is
+       a design constraint. Only the first step can match more than
+       once, so Spark's replace-all and an explicitly-'g'-flagged
+       DuckDB call see identical match sets; a literal ``?`` inside a
+       query value is data and survives untouched
+    5. trailing slashes collapsed ON THE PATH (``.../path/`` ==
+       ``.../path``, bare host without ``/``); the query is
+       re-appended only when non-empty
 
     Idempotent: canonicalize(canonicalize(u)) == canonicalize(u)
-    (property-tested). Non-URL input degrades gracefully (no scheme
-    match -> value passes through unchanged).
+    (property-tested). NULL input yields NULL; input with no
+    ``scheme://`` passes through unchanged.
     """
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     host = F.regexp_replace(host, r"^(www\.)+", "")
-    host = F.regexp_replace(host, r":(80|443)$", "")
-    tp = TRACKING_PARAMS
+    host = (F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+            .otherwise(host))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     rest = F.regexp_replace(rest, r"#.*$", "")                      # fragment
-    rest = F.regexp_replace(rest, r"&(" + tp + r")=[^&#]*", "")     # &p=v
-    rest = F.regexp_replace(rest, r"\?(" + tp + r")=[^&#]*&", "?")  # ?p=v&q -> ?q
-    rest = F.regexp_replace(rest, r"\?(" + tp + r")=[^&#]*$", "")   # ?p=v alone
-    rest = F.regexp_replace(rest, r"[?&]+$", "")                    # bare tails
-    rest = F.regexp_replace(rest, r"/+$", "")                       # trailing /
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")                       # trailing /
+    tp = TRACKING_PARAMS
+    q = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)  # after the FIRST ?
+    q = F.regexp_replace(q, r"&(" + tp + r")=[^&]*", "")            # &p=v
+    q = F.regexp_replace(q, r"^(" + tp + r")=[^&]*&", "")           # p=v&x -> x
+    q = F.regexp_replace(q, r"^(" + tp + r")=[^&]*$", "")           # p=v alone
     return F.when(scheme == "", u).otherwise(
-        F.concat(scheme, F.lit("://"), host, rest))
+        F.concat(scheme, F.lit("://"), host, path,
+                 F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))))
 
 
 def url_dedup(pages: DataFrame, url_col: str = "url",
@@ -71,21 +84,27 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
     """Keep-first dedup by canonical URL: every row gains
     ``canonical_url`` and ``keep`` (true iff the row has the smallest
     ``id_col`` among rows sharing a canonical form — the deterministic
-    keep-first rule the exact-dedup operator uses).
+    keep-first rule the exact-dedup operator uses). Rows with a NULL
+    url have no dedup basis: they pass through with ``keep`` = true
+    and a NULL canonical (two unknown addresses are not duplicates of
+    each other — an equi-join formulation would silently DROP them).
 
-    One shuffle total: groupBy(canonical) -> min(id), map-side
-    combined, joined back broadcast-eligible only when the winner set
-    is small — the join key is the canonical string itself, so
-    Catalyst shuffles both sides on it without a second exchange of
+    One shuffle total on the non-null side: groupBy(canonical) ->
+    min(id), map-side combined, joined back on the canonical string,
+    so Catalyst shuffles both sides on it without a second exchange of
     the pages frame beyond the aggregate's.
     """
     canon = pages.withColumn("canonical_url", canonicalize_url(url_col))
+    with_url = canon.filter(F.col("canonical_url").isNotNull())
+    null_url = canon.filter(F.col("canonical_url").isNull()) \
+        .withColumn("keep", F.lit(True))
     winners = (
-        canon.groupBy("canonical_url")
+        with_url.groupBy("canonical_url")
         .agg(F.min(id_col).alias("_keep_id"))
     )
     return (
-        canon.join(winners, "canonical_url")
+        with_url.join(winners, "canonical_url")
         .withColumn("keep", F.col(id_col) == F.col("_keep_id"))
         .drop("_keep_id")
+        .unionByName(null_url)
     )

@@ -516,6 +516,18 @@ def test_canonicalize_url_cases(spark):
         ("https://example.com/a?fbclid=abc", "https://example.com/a"),
         ("https://example.com/a?ref=x&id=1", "https://example.com/a?id=1"),
         ("not a url", "not a url"),  # no scheme -> passthrough
+        # component isolation (the first canonicalizer leaked rules
+        # across component boundaries — each of these reproduced a bug):
+        # default-port strip is scheme-conditional
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        # a literal '?' inside a query VALUE is data, not a new query
+        ("https://example.com/search?utm_source=a&q=foo?ref=bar&x=1",
+         "https://example.com/search?q=foo?ref=bar&x=1"),
+        # trailing slash collapses on the PATH even with a query...
+        ("https://example.com/docs/?id=1", "https://example.com/docs?id=1"),
+        # ...but never inside a query value
+        ("https://example.com/a?id=v/", "https://example.com/a?id=v/"),
     ]
     df = spark.createDataFrame(cases, "url string, expected string")
     for r in df.select("url", "expected",
@@ -533,13 +545,17 @@ def test_url_dedup_keep_first(spark):
     from lsh_apg_spark.operators import urlnorm
     pages = spark.createDataFrame(
         [(1, "https://A.com/x?utm_source=s"), (2, "https://a.com/x"),
-         (3, "HTTP://www.a.com:80/x/"), (4, "https://a.com/y")],
+         (3, "HTTP://www.a.com:80/x/"), (4, "https://a.com/y"),
+         (5, None)],
         "doc_id long, url string")
     out = {r["doc_id"]: r for r in urlnorm.url_dedup(pages).collect()}
+    assert len(out) == 5              # NULL-url rows are never dropped
     assert out[1]["keep"] is True     # smallest doc_id of the https group
     assert out[2]["keep"] is False    # recrawl of doc 1's canonical form
     assert out[3]["keep"] is True     # http != https: a distinct page
     assert out[4]["keep"] is True
+    assert out[5]["keep"] is True     # no address -> no dedup basis
+    assert out[5]["canonical_url"] is None
     assert out[1]["canonical_url"] == out[2]["canonical_url"] \
         == "https://a.com/x"
     assert out[3]["canonical_url"] == "http://a.com/x"
