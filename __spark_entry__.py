@@ -125,6 +125,55 @@ def _q_url_dedup(spark, sf):
         "doc_id", "url", "canonical_url", "keep").orderBy("doc_id")
 
 
+def _q_pii_scrub(spark, sf):
+    """PII redaction (operators/pii.py). The synthetic corpus carries
+    no contact strings, so two thirds of the docs plant a
+    deterministic e-mail / phone suffix (by doc_id % 3, the third
+    stays clean) — the DuckDB twin plants the identical strings, so
+    the whole count+redact chain is hash-verified end-to-end."""
+    from lsh_apg_spark.operators import pii
+    d = _docs(spark, sf).select("doc_id", "text")
+    m = F.col("doc_id") % 3
+    did = F.col("doc_id").cast("string")
+    ph = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    planted = (
+        F.when(m == 0, F.concat(
+            F.col("text"), F.lit(" Contact user"), did,
+            F.lit("@mail.example.org now.")))
+        .when(m == 1, F.concat(
+            F.col("text"), F.lit(" Call 555-"), ph,
+            F.lit(" or 555 "), ph, F.lit(".")))
+        .otherwise(F.col("text")))
+    return pii.pii_scrub(d.withColumn("text", planted)).orderBy("doc_id")
+
+
+def _q_domain_stats(spark, sf):
+    """Per-host crawl profile over canonical URLs
+    (operators/urlnorm.py:domain_stats). Urls derive from doc_id the
+    same way url_dedup's do, but spread over three hosts (doc_id % 3)
+    with per-variant scheme-case/www/port/fragment/tracking noise;
+    every doc_id % 11 == 7 row gets a NULL url to exercise the
+    unknown-address path."""
+    from lsh_apg_spark.operators import urlnorm
+    d = _docs(spark, sf).select("doc_id")
+    g = F.floor(F.col("doc_id") / 5).cast("string")
+    v = F.col("doc_id") % 4
+    host = (F.when(F.col("doc_id") % 3 == 0, F.lit("example.com"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("news.example.net"))
+            .otherwise(F.lit("blog.sample.org")))
+    url = (
+        F.when(F.col("doc_id") % 11 == 7, F.lit(None).cast("string"))
+        .when(v == 0, F.concat(F.lit("https://www."), host, F.lit("/p/"), g,
+                               F.lit("?utm_source=a")))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                               F.lit(":443/p/"), g))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit("/p/"), g,
+                               F.lit("/#frag")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/p/"), g,
+                            F.lit("?utm_campaign=x&ref=y"))))
+    return urlnorm.domain_stats(d.withColumn("url", url)).orderBy("host")
+
+
 def _q_profile(spark, sf):
     return textstats.dataset_profile(_docs(spark, sf)).orderBy("lang")
 
@@ -527,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "line_dedup": _q_line_dedup,
         "url_dedup": _q_url_dedup,
+        "pii_scrub": _q_pii_scrub,
+        "domain_stats": _q_domain_stats,
         "dataset_profile": _q_profile,
         # multimodal plumbing
         "media_features": _q_media_features,
@@ -580,6 +631,46 @@ _SHINGLES_CTE = """
             JOIN sz sb ON sb.doc_id = b
         )
     """
+
+
+# DuckDB twin of urlnorm.canonicalize_url — consumed by the url_dedup
+# and domain_stats oracles; expects a `raw(doc_id, url)` CTE upstream
+# and exposes `c(doc_id, url, canonical_url)`.
+_URL_CANON_CTES = """parts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                           '^(www\\.)+', '') AS host0,
+                       regexp_replace(regexp_replace(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                           '#.*$', '') AS rest
+                FROM raw
+            ), comp AS (
+                SELECT doc_id, url, scheme,
+                       CASE WHEN scheme = 'http'
+                              THEN regexp_replace(host0, ':80$', '')
+                            WHEN scheme = 'https'
+                              THEN regexp_replace(host0, ':443$', '')
+                            ELSE host0 END AS host,
+                       regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                                      '/+$', '') AS path,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_extract(rest, '^[^?]*\\?(.*)$', 1),
+                           '&(utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+                           '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&', ''),
+                           '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', '') AS q
+                FROM parts
+            ), c AS (
+                SELECT doc_id, url,
+                       CASE WHEN scheme = '' THEN url
+                            ELSE scheme || '://' || host || path ||
+                                 CASE WHEN q = '' THEN ''
+                                      ELSE '?' || q END
+                       END AS canonical_url
+                FROM comp
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -820,47 +911,78 @@ def oracle_sql() -> dict[str, str]:
                               || '?utm_campaign=x&utm_source=y'
                        END AS url
                 FROM documents
-            ), parts AS (
-                SELECT doc_id, url,
-                       lower(regexp_extract(url,
-                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                       regexp_replace(lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                           '^(www\\.)+', '') AS host0,
-                       regexp_replace(regexp_replace(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-                           '#.*$', '') AS rest
-                FROM raw
-            ), comp AS (
-                SELECT doc_id, url, scheme,
-                       CASE WHEN scheme = 'http'
-                              THEN regexp_replace(host0, ':80$', '')
-                            WHEN scheme = 'https'
-                              THEN regexp_replace(host0, ':443$', '')
-                            ELSE host0 END AS host,
-                       regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
-                                      '/+$', '') AS path,
-                       regexp_replace(regexp_replace(regexp_replace(
-                           regexp_extract(rest, '^[^?]*\\?(.*)$', 1),
-                           '&(utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
-                           '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&', ''),
-                           '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', '') AS q
-                FROM parts
-            ), c AS (
-                SELECT doc_id, url,
-                       CASE WHEN scheme = '' THEN url
-                            ELSE scheme || '://' || host || path ||
-                                 CASE WHEN q = '' THEN ''
-                                      ELSE '?' || q END
-                       END AS canonical_url
-                FROM comp
-            )
+            ), """ + _URL_CANON_CTES + """
             SELECT c.doc_id, c.url, c.canonical_url,
                    c.doc_id = w.keep_id AS keep
             FROM c JOIN (SELECT canonical_url, min(doc_id) AS keep_id
                          FROM c GROUP BY canonical_url) w
                  USING (canonical_url)
             ORDER BY doc_id
+        """,
+        "pii_scrub": """
+            WITH raw AS (
+                SELECT doc_id,
+                       text || CASE doc_id % 3
+                         WHEN 0 THEN ' Contact user' || doc_id::VARCHAR
+                                     || '@mail.example.org now.'
+                         WHEN 1 THEN ' Call 555-'
+                                     || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                                     || ' or 555 '
+                                     || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                                     || '.'
+                         ELSE ''
+                       END AS text
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS no_email
+                FROM raw
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(no_email,
+                       '\\b\\d{3}[-. ]\\d{4}\\b')) AS n_phones,
+                   regexp_replace(no_email, '\\b\\d{3}[-. ]\\d{4}\\b',
+                                  '<PHONE>', 'g') AS clean_text
+            FROM s ORDER BY doc_id
+        """,
+        "domain_stats": """
+            WITH raw AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 7 THEN NULL
+                            WHEN doc_id % 4 = 0
+                              THEN 'https://www.' || host || '/p/' || g
+                                   || '?utm_source=a'
+                            WHEN doc_id % 4 = 1
+                              THEN 'HTTPS://' || upper(host) || ':443/p/' || g
+                            WHEN doc_id % 4 = 2
+                              THEN 'https://' || host || '/p/' || g || '/#frag'
+                            ELSE 'https://' || host || '/p/' || g
+                                 || '?utm_campaign=x&ref=y'
+                       END AS url
+                FROM (SELECT doc_id,
+                             CASE doc_id % 3
+                               WHEN 0 THEN 'example.com'
+                               WHEN 1 THEN 'news.example.net'
+                               ELSE 'blog.sample.org' END AS host,
+                             (doc_id // 5)::VARCHAR AS g
+                      FROM documents)
+            ), """ + _URL_CANON_CTES + """
+            SELECT coalesce(regexp_extract(canonical_url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS host,
+                   count(*) AS n_pages,
+                   count(DISTINCT canonical_url)
+                     + count(CASE WHEN canonical_url IS NULL THEN 1 END)
+                       AS n_unique_pages,
+                   round(1 - (count(DISTINCT canonical_url)
+                              + count(CASE WHEN canonical_url IS NULL
+                                           THEN 1 END)) * 1.0 / count(*), 4)
+                       AS dup_ratio
+            FROM c GROUP BY 1 ORDER BY host
         """,
         "dataset_profile": """
             SELECT lang, count(*) AS n_docs,

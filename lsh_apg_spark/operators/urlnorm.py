@@ -108,3 +108,39 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
         .drop("_keep_id")
         .unionByName(null_url)
     )
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host crawl profile over canonical URLs: (host, n_pages,
+    n_unique_pages, dup_ratio) — the crawl-ops view that drives
+    per-domain recrawl budgets and domain-level quality decisions
+    (a host whose dup_ratio ~ 1 is being recrawled for nothing).
+
+    NULL urls carry no host and are profiled under host = '' rather
+    than dropped, and each counts as UNIQUE (two unknown addresses are
+    not duplicates of each other — the same stance url_dedup takes;
+    a bare count(DISTINCT) would ignore the NULLs and report unknown
+    addresses as 100% duplicate).
+
+    Scale shape: ``count(DISTINCT canonical_url)`` looks like a skew
+    trap (one mega-host holds most of a web corpus), but Catalyst
+    plans it as two exchanges keyed (host, canonical_url) THEN (host)
+    with partial aggregation at both — the mega-host's distinct set is
+    spread across partitions in stage one and arrives pre-counted, so
+    no single task ever holds a whole domain.
+    """
+    c = canonicalize_url(url_col)
+    host = F.coalesce(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+        F.lit(""))
+    return (
+        pages.select(host.alias("host"), c.alias("_cu"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             (F.countDistinct("_cu")
+              + F.count(F.when(F.col("_cu").isNull(), 1))
+              ).alias("n_unique_pages"))
+        .withColumn(
+            "dup_ratio",
+            F.round(1 - F.col("n_unique_pages") / F.col("n_pages"), 4))
+    )

@@ -561,6 +561,50 @@ def test_url_dedup_keep_first(spark):
     assert out[3]["canonical_url"] == "http://a.com/x"
 
 
+def test_pii_scrub_counts_and_redaction(spark):
+    from lsh_apg_spark.operators import pii
+    docs = spark.createDataFrame(
+        [(1, "mail jo.smith+x@sub.example.co.uk or bob@x.io thanks"),
+         (2, "call 555-0123 or 555 0199."),
+         (3, "reach 555-0123@x.com by mail"),
+         (4, "no pii here 123456789 5550123"),
+         (5, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii.pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (2, 0)
+    assert out[1]["clean_text"] == "mail <EMAIL> or <EMAIL> thanks"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 2)
+    assert out[2]["clean_text"] == "call <PHONE> or <PHONE>."
+    # a phone-shaped local part is an EMAIL: the staged passes redact
+    # it whole and the phone pass sees nothing afterwards
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (1, 0)
+    assert out[3]["clean_text"] == "reach <EMAIL> by mail"
+    # digit runs without a separator are not phones
+    assert (out[4]["n_emails"], out[4]["n_phones"]) == (0, 0)
+    assert out[4]["clean_text"] == "no pii here 123456789 5550123"
+    assert out[5]["clean_text"] == ""
+
+
+def test_domain_stats_per_host(spark):
+    from lsh_apg_spark.operators import urlnorm
+    pages = spark.createDataFrame(
+        [(1, "https://A.com/x?utm_source=s"), (2, "https://a.com/x"),
+         (3, "https://a.com/y"), (4, "HTTP://www.b.org:80/p/"),
+         (5, "http://b.org/p"), (6, None), (7, None)],
+        "doc_id long, url string")
+    out = {r["host"]: r for r in urlnorm.domain_stats(pages).collect()}
+    assert set(out) == {"a.com", "b.org", ""}
+    # doc 1 and 2 are recrawls of one page; doc 3 is distinct
+    assert (out["a.com"]["n_pages"], out["a.com"]["n_unique_pages"]) == (3, 2)
+    assert abs(out["a.com"]["dup_ratio"] - 0.3333) < 1e-9
+    assert (out["b.org"]["n_pages"], out["b.org"]["n_unique_pages"]) == (2, 1)
+    assert out["b.org"]["dup_ratio"] == 0.5
+    # NULL urls: profiled under host = '', each one unique (unknown
+    # addresses are never duplicates of each other)
+    assert (out[""]["n_pages"], out[""]["n_unique_pages"]) == (2, 2)
+    assert out[""]["dup_ratio"] == 0.0
+
+
 def test_line_dedup_invariants_seeded_corpus(spark):
     from lsh_apg_spark.operators import linedup
     # 60 docs drawing 1-8 lines from a 25-line pool -> heavy cross-doc

@@ -112,6 +112,12 @@ def test_webtext_ops_are_jvm_only(spark, docs):
         pages.select(urlnorm.canonicalize_url("url")))
     assert "Exchange" not in canon_plan and "EvalPython" not in canon_plan
     assert "EvalPython" not in explain.simple_plan(urlnorm.url_dedup(pages))
+    assert "EvalPython" not in explain.simple_plan(
+        urlnorm.domain_stats(pages))
+    # pii_scrub is a pure per-row regexp chain: no shuffle, no Python
+    from lsh_apg_spark.operators import pii
+    pii_plan = explain.simple_plan(pii.pii_scrub(docs))
+    assert "Exchange" not in pii_plan and "EvalPython" not in pii_plan
     cols = explain.scan_read_schema(linedup.line_dedup(docs))
     assert set(cols) == {"doc_id", "text"}, cols
 
