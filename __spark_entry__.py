@@ -174,6 +174,43 @@ def _q_domain_stats(spark, sf):
     return urlnorm.domain_stats(d.withColumn("url", url)).orderBy("host")
 
 
+def _q_extract_verify(spark, sf):
+    """Byte-identity extraction check (operators/extract.py) — the
+    north_rule's "byte-identical extracted text per url" gate as a
+    query. html derives from text with the corpus's wrapper format;
+    every doc_id % 97 == 13 row tampers the STORED text post-wrap, so
+    the check must flag exactly those rows (the DuckDB twin derives
+    and tampers identically)."""
+    from lsh_apg_spark.operators import extract
+    d = _docs(spark, sf).select("doc_id", "text")
+    pages = d.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "UTF-8").alias("html"),
+        F.when(F.col("doc_id") % 97 == 13,
+               F.concat(F.col("text"), F.lit("X")))
+         .otherwise(F.col("text")).alias("text"))
+    return extract.verify_extraction(pages).select("doc_id", "ok") \
+        .orderBy("doc_id")
+
+
+def _q_lm_score(spark, sf):
+    """Corpus-trained unigram-LM score per doc (operators/lm.py) —
+    the CCNet §3.2 perplexity-proxy pass, model trained on the corpus
+    itself so the whole train+score chain is hash-verified."""
+    from lsh_apg_spark.operators import lm
+    d = _docs(spark, sf)
+    return lm.lm_score(d, lm.train_unigram_lm(d)).orderBy("doc_id")
+
+
+def _q_lm_buckets(spark, sf):
+    """CCNet head/middle/tail quality bucketing on the LM score."""
+    from lsh_apg_spark.operators import lm
+    d = _docs(spark, sf)
+    scored = lm.lm_score(d, lm.train_unigram_lm(d))
+    return lm.lm_quality_buckets(scored).orderBy("doc_id")
+
+
 def _q_profile(spark, sf):
     return textstats.dataset_profile(_docs(spark, sf)).orderBy("lang")
 
@@ -578,6 +615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "pii_scrub": _q_pii_scrub,
         "domain_stats": _q_domain_stats,
+        "extract_verify": _q_extract_verify,
+        "lm_score": _q_lm_score,
+        "lm_buckets": _q_lm_buckets,
         "dataset_profile": _q_profile,
         # multimodal plumbing
         "media_features": _q_media_features,
@@ -670,6 +710,31 @@ _URL_CANON_CTES = """parts AS (
                                       ELSE '?' || q END
                        END AS canonical_url
                 FROM comp
+            )"""
+
+
+# DuckDB twin of lm.train_unigram_lm + lm.lm_score — exposes
+# `scored(doc_id, n_tokens, avg_logp)`; lm_buckets appends a cuts CTE.
+_LM_SCORE_SQL = """
+            WITH ltoks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS token
+                FROM documents
+            ), lcounts AS (
+                SELECT token, count(*) AS c FROM ltoks GROUP BY token
+            ), lnorm AS (
+                SELECT sum(c) AS t, count(*) AS v FROM lcounts
+            ), lmx AS (
+                SELECT token, ln((c + 1) / (t + v)) AS logp
+                FROM lcounts, lnorm
+            ), scored AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       round(avg(coalesce(lmx.logp,
+                                          (SELECT ln(1.0 / (t + v))
+                                           FROM lnorm))), 4) AS avg_logp
+                FROM ltoks LEFT JOIN lmx USING (token)
+                GROUP BY doc_id
             )"""
 
 
@@ -983,6 +1048,35 @@ def oracle_sql() -> dict[str, str]:
                                            THEN 1 END)) * 1.0 / count(*), 4)
                        AS dup_ratio
             FROM c GROUP BY 1 ORDER BY host
+        """,
+        "extract_verify": """
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><body>' || text || '</body></html>' AS html_s,
+                       CASE WHEN doc_id % 97 = 13 THEN text || 'X'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   coalesce(regexp_replace(html_s, '<[^>]*>', '', 'g')
+                            = text, FALSE) AS ok
+            FROM pages ORDER BY doc_id
+        """,
+        "lm_score": _LM_SCORE_SQL + """
+            SELECT doc_id, n_tokens, avg_logp
+            FROM scored ORDER BY doc_id
+        """,
+        "lm_buckets": _LM_SCORE_SQL + """,
+            cuts AS (
+                SELECT quantile_cont(avg_logp, 1 - 1.0/3) AS head_cut,
+                       quantile_cont(avg_logp, 1.0/3) AS tail_cut
+                FROM scored
+            )
+            SELECT doc_id, n_tokens, avg_logp,
+                   CASE WHEN avg_logp >= head_cut THEN 'head'
+                        WHEN avg_logp <= tail_cut THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM scored, cuts ORDER BY doc_id
         """,
         "dataset_profile": """
             SELECT lang, count(*) AS n_docs,

@@ -80,7 +80,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_topk_lsh", "ann_topk_lsh_l2", "ann_topk_graph",
         "ann_topk_ivf",
         "token_stats", "lang_id", "quality_filter", "line_dedup",
-        "url_dedup", "pricing_summary", "revenue_by_nation",
+        "url_dedup", "pii_scrub", "domain_stats", "lm_score",
+        "pricing_summary", "revenue_by_nation",
     ]
     # prebuild ONLY the kNN graph index OUTSIDE the timed region — the
     # reference's own bench loads/builds the index before its query

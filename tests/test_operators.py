@@ -605,6 +605,51 @@ def test_domain_stats_per_host(spark):
     assert out[""]["dup_ratio"] == 0.0
 
 
+def test_extract_verify_byte_identity(spark):
+    from lsh_apg_spark.operators import extract
+    pages = spark.createDataFrame(
+        [(1, bytearray(b"<html><body>hello world</body></html>"),
+          "hello world"),
+         (2, bytearray(b"<html><body>stored text drifted</body></html>"),
+          "stored text"),
+         (3, None, "unverifiable"),
+         (4, bytearray(b"<html><body></body></html>"), "")],
+        "doc_id long, html binary, text string")
+    out = {r["doc_id"]: r["ok"]
+           for r in extract.verify_extraction(pages).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_unigram_lm_score_and_buckets(spark):
+    from lsh_apg_spark.operators import lm
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog ate the cat"),
+         (3, "zx qq zz unseen junk"), (4, "the the the the")],
+        "doc_id long, text string")
+    m = {r["token"]: r for r in lm.train_unigram_lm(docs).collect()}
+    # 20 token occurrences, 12 distinct: add-one smoothing over T+V=32
+    assert len(m) == 12
+    t = m["the"]
+    assert abs(t["logp"] - np.log(9 / 32)) < 1e-12     # c=8 -> (8+1)/32
+    assert abs(t["oov_logp"] - np.log(1 / 32)) < 1e-12
+    assert m["cat"]["logp"] > m["sat"]["logp"]         # c=2 beats c=1
+    sc = {r["doc_id"]: r for r in lm.lm_score(docs, lm.train_unigram_lm(
+        docs)).collect()}
+    assert sc[1]["n_tokens"] == 6
+    # all-stopword doc scores highest, all-rare doc lowest
+    assert sc[4]["avg_logp"] == round(float(np.log(9 / 32)), 4)
+    assert sc[3]["avg_logp"] < sc[1]["avg_logp"] < sc[4]["avg_logp"]
+    # OOV floor: a doc of unseen-at-train tokens scores oov_logp
+    q = spark.createDataFrame([(9, "wholly novel words")],
+                              "doc_id long, text string")
+    sq = lm.lm_score(q, lm.train_unigram_lm(docs)).collect()[0]
+    assert sq["avg_logp"] == round(float(np.log(1 / 32)), 4)
+    buckets = {r["doc_id"]: r["bucket"] for r in lm.lm_quality_buckets(
+        lm.lm_score(docs, lm.train_unigram_lm(docs))).collect()}
+    assert buckets[4] == "head" and buckets[3] == "tail"
+    assert set(buckets.values()) <= {"head", "middle", "tail"}
+
+
 def test_line_dedup_invariants_seeded_corpus(spark):
     from lsh_apg_spark.operators import linedup
     # 60 docs drawing 1-8 lines from a 25-line pool -> heavy cross-doc

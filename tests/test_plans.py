@@ -118,6 +118,17 @@ def test_webtext_ops_are_jvm_only(spark, docs):
     from lsh_apg_spark.operators import pii
     pii_plan = explain.simple_plan(pii.pii_scrub(docs))
     assert "Exchange" not in pii_plan and "EvalPython" not in pii_plan
+    # extraction verify: per-row decode+regexp+compare, no shuffle
+    from lsh_apg_spark.operators import extract
+    pages2 = docs.select(
+        "doc_id", "text",
+        F.encode(F.col("text"), "UTF-8").alias("html"))
+    ev_plan = explain.simple_plan(extract.verify_extraction(pages2))
+    assert "Exchange" not in ev_plan and "EvalPython" not in ev_plan
+    # LM train+score is aggs + a broadcast token join — never Python
+    from lsh_apg_spark.operators import lm
+    assert "EvalPython" not in explain.simple_plan(
+        lm.lm_score(docs, lm.train_unigram_lm(docs)))
     cols = explain.scan_read_schema(linedup.line_dedup(docs))
     assert set(cols) == {"doc_id", "text"}, cols
 
