@@ -80,28 +80,55 @@ def canonicalize_url(url: Column | str) -> Column:
 
 
 def url_dedup(pages: DataFrame, url_col: str = "url",
-              id_col: str = "doc_id") -> DataFrame:
-    """Keep-first dedup by canonical URL: every row gains
-    ``canonical_url`` and ``keep`` (true iff the row has the smallest
-    ``id_col`` among rows sharing a canonical form — the deterministic
-    keep-first rule the exact-dedup operator uses). Rows with a NULL
-    url have no dedup basis: they pass through with ``keep`` = true
-    and a NULL canonical (two unknown addresses are not duplicates of
-    each other — an equi-join formulation would silently DROP them).
+              id_col: str = "doc_id", keep: str = "first",
+              ts_col: str = "warc_ts") -> DataFrame:
+    """Dedup by canonical URL: every row gains ``canonical_url`` and
+    ``keep`` (true for exactly one row per canonical form). Two
+    deterministic policies:
 
-    One shuffle total on the non-null side: groupBy(canonical) ->
-    min(id), map-side combined, joined back on the canonical string,
-    so Catalyst shuffles both sides on it without a second exchange of
+    * ``keep="first"`` — smallest ``id_col`` wins (the keep-first rule
+      the exact-dedup operator uses);
+    * ``keep="latest"`` — the newest ``ts_col`` snapshot wins (what a
+      recrawling pipeline wants: serve the freshest capture), ties
+      broken by smallest ``id_col``; NULL timestamps lose to any
+      non-NULL one.
+
+    Rows with a NULL url have no dedup basis: they pass through with
+    ``keep`` = true and a NULL canonical (two unknown addresses are
+    not duplicates of each other — an equi-join formulation would
+    silently DROP them).
+
+    One shuffle total on the non-null side: groupBy(canonical) -> a
+    map-side-combined min/max, joined back on the canonical string, so
+    Catalyst shuffles both sides on it without a second exchange of
     the pages frame beyond the aggregate's.
     """
     canon = pages.withColumn("canonical_url", canonicalize_url(url_col))
     with_url = canon.filter(F.col("canonical_url").isNotNull())
     null_url = canon.filter(F.col("canonical_url").isNull()) \
         .withColumn("keep", F.lit(True))
-    winners = (
-        with_url.groupBy("canonical_url")
-        .agg(F.min(id_col).alias("_keep_id"))
-    )
+    if keep == "first":
+        winners = (
+            with_url.groupBy("canonical_url")
+            .agg(F.min(id_col).alias("_keep_id"))
+        )
+    elif keep == "latest":
+        # max over (ts NULLS-lose, -id): struct ordering is
+        # lexicographic, so newest ts wins and min id breaks ties; a
+        # NULL ts sorts below every timestamp under max() only if no
+        # row is all-NULL — coalesce to the epoch floor so mixed
+        # groups behave and all-NULL groups still pick min id
+        ts = F.coalesce(F.col(ts_col),
+                        F.to_timestamp(F.lit("1970-01-01")))
+        winners = (
+            with_url.groupBy("canonical_url")
+            .agg(F.max(F.struct(ts.alias("_ts"),
+                                (-F.col(id_col)).alias("_nid"))).alias("_w"))
+            .select("canonical_url",
+                    (-F.col("_w._nid")).alias("_keep_id"))
+        )
+    else:
+        raise ValueError(f"unknown keep policy: {keep!r}")
     return (
         with_url.join(winners, "canonical_url")
         .withColumn("keep", F.col(id_col) == F.col("_keep_id"))

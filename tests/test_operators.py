@@ -561,6 +561,26 @@ def test_url_dedup_keep_first(spark):
     assert out[3]["canonical_url"] == "http://a.com/x"
 
 
+def test_url_dedup_keep_latest(spark):
+    from lsh_apg_spark.operators import urlnorm
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/x", "2024-03-01 00:00:00"),
+         (2, "https://A.com/x?utm_source=s", "2024-05-01 00:00:00"),
+         (3, "https://www.a.com/x", "2024-05-01 00:00:00"),   # ts tie
+         (4, "https://a.com/y", None),                        # lone NULL ts
+         (5, "https://a.com/z", None),
+         (6, "https://a.com/z", "2020-01-01 00:00:00"),       # beats NULL
+         (7, None, "2024-01-01 00:00:00")],
+        "doc_id long, url string, warc_ts string")
+    pages = pages.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = {r["doc_id"]: r["keep"]
+           for r in urlnorm.url_dedup(pages, keep="latest").collect()}
+    assert out == {1: False, 2: True, 3: False,  # newest wins, min-id tie
+                   4: True,                      # all-NULL group keeps min id
+                   5: False, 6: True,            # any ts beats NULL
+                   7: True}                      # NULL url passes through
+
+
 def test_pii_scrub_counts_and_redaction(spark):
     from lsh_apg_spark.operators import pii
     docs = spark.createDataFrame(
