@@ -174,6 +174,56 @@ def _q_domain_stats(spark, sf):
     return urlnorm.domain_stats(d.withColumn("url", url)).orderBy("host")
 
 
+def _q_decontaminate_ngram(spark, sf):
+    """Exact n-gram decontamination (GPT-3 appendix C rule) over the
+    same train/eval split as the fuzzy `decontaminate` entry: every
+    cross-split pair sharing >= 1 distinct word 8-gram, with the count
+    of shared grams (operators/decontaminate.py:
+    decontaminate_exact_ngrams). Fully oracle-checkable — exact string
+    matching, no hashing anywhere."""
+    from lsh_apg_spark.operators.decontaminate import (
+        decontaminate_exact_ngrams,
+    )
+    docs = _docs(spark, sf)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    evals = docs.filter(F.col("doc_id") % 7 == 0)
+    return (
+        decontaminate_exact_ngrams(train, evals, n=8, id_col="doc_id")
+        .orderBy("train_id", "eval_id")
+    )
+
+
+def _q_domain_sample(spark, sf):
+    """Per-domain quota sampling (operators/urlnorm.py:domain_sample):
+    keep <= 10 pages per canonical host, md5-ordered — the C4-style
+    mega-domain cap. Urls synthesized exactly as domain_stats's (three
+    hosts, recrawl-spelling noise, doc_id % 11 == 7 NULLs); the DuckDB
+    twin replays the synthesis, the canonicalization chain, and the
+    md5 ranking, so the draw itself is hash-verified."""
+    from lsh_apg_spark.operators import urlnorm
+    d = _docs(spark, sf).select("doc_id")
+    g = F.floor(F.col("doc_id") / 5).cast("string")
+    v = F.col("doc_id") % 4
+    host = (F.when(F.col("doc_id") % 3 == 0, F.lit("example.com"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("news.example.net"))
+            .otherwise(F.lit("blog.sample.org")))
+    url = (
+        F.when(F.col("doc_id") % 11 == 7, F.lit(None).cast("string"))
+        .when(v == 0, F.concat(F.lit("https://www."), host, F.lit("/p/"), g,
+                               F.lit("?utm_source=a")))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                               F.lit(":443/p/"), g))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit("/p/"), g,
+                               F.lit("/#frag")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/p/"), g,
+                            F.lit("?utm_campaign=x&ref=y"))))
+    return (
+        urlnorm.domain_sample(d.withColumn("url", url), quota=10)
+        .orderBy(F.col("host"), F.col("rank").asc_nulls_last(),
+                 F.col("doc_id"))
+    )
+
+
 def _q_extract_verify(spark, sf):
     """Byte-identity extraction check (operators/extract.py) — the
     north_rule's "byte-identical extracted text per url" gate as a
@@ -593,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_containment": _q_substring,
         "cosine_neardup": _q_cosine_neardup,
         "decontaminate": _q_decontaminate,
+        "decontaminate_ngram": _q_decontaminate_ngram,
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_l1": _q_ann_l1,
@@ -615,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "pii_scrub": _q_pii_scrub,
         "domain_stats": _q_domain_stats,
+        "domain_sample": _q_domain_sample,
         "extract_verify": _q_extract_verify,
         "lm_score": _q_lm_score,
         "lm_buckets": _q_lm_buckets,
@@ -1014,6 +1066,74 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(no_email, '\\b\\d{3}[-. ]\\d{4}\\b',
                                   '<PHONE>', 'g') AS clean_text
             FROM s ORDER BY doc_id
+        """,
+        "decontaminate_ngram": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(toks) - 7),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                || toks[i + 2] || ' ' || toks[i + 3] || ' '
+                                || toks[i + 4] || ' ' || toks[i + 5] || ' '
+                                || toks[i + 6] || ' ' || toks[i + 7]))
+                           AS grams
+                FROM t WHERE len(toks) >= 8
+            ), tg AS (
+                SELECT doc_id AS train_id, unnest(grams) AS gm
+                FROM g WHERE doc_id % 7 <> 0
+            ), eg AS (
+                SELECT doc_id AS eval_id, unnest(grams) AS gm
+                FROM g WHERE doc_id % 7 = 0
+            )
+            SELECT train_id, eval_id, count(*) AS n_shared
+            FROM tg JOIN eg USING (gm)
+            GROUP BY train_id, eval_id
+            HAVING count(*) >= 1
+            ORDER BY train_id, eval_id
+        """,
+        "domain_sample": """
+            WITH raw AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 7 THEN NULL
+                            WHEN doc_id % 4 = 0
+                              THEN 'https://www.' || host || '/p/' || g
+                                   || '?utm_source=a'
+                            WHEN doc_id % 4 = 1
+                              THEN 'HTTPS://' || upper(host) || ':443/p/' || g
+                            WHEN doc_id % 4 = 2
+                              THEN 'https://' || host || '/p/' || g || '/#frag'
+                            ELSE 'https://' || host || '/p/' || g
+                                 || '?utm_campaign=x&ref=y'
+                       END AS url
+                FROM (SELECT doc_id,
+                             CASE doc_id % 3
+                               WHEN 0 THEN 'example.com'
+                               WHEN 1 THEN 'news.example.net'
+                               ELSE 'blog.sample.org' END AS host,
+                             (doc_id // 5)::VARCHAR AS g
+                      FROM documents)
+            ), """ + _URL_CANON_CTES + """, h AS (
+                SELECT doc_id,
+                       regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                       md5(canonical_url) AS m
+                FROM c
+            ), ranked AS (
+                SELECT doc_id, host,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY m, doc_id) AS rank
+                FROM h WHERE host IS NOT NULL AND host <> ''
+            )
+            SELECT doc_id, host, rank FROM ranked WHERE rank <= 10
+            UNION ALL
+            SELECT doc_id, '' AS host, NULL AS rank
+            FROM h WHERE host IS NULL OR host = ''
+            ORDER BY host, rank NULLS LAST, doc_id
         """,
         "domain_stats": """
             WITH raw AS (

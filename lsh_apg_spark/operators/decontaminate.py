@@ -131,3 +131,49 @@ def decontaminate(
     return train.join(
         _maybe_broadcast(flagged, flagged.count(), MAX_BROADCAST_ROWS),
         id_col, "left_anti")
+
+
+def decontaminate_exact_ngrams(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(train_id, eval_id, n_shared) for every cross-corpus pair
+    sharing >= ``min_hits`` distinct word n-grams — the exact-overlap
+    decontamination rule (GPT-3 appendix C / PaLM style: a train doc is
+    contaminated if any eval n-gram appears verbatim in it), the
+    conservative complement to ``decontaminate_pairs``'s fuzzy Jaccard
+    rule. n defaults to 13, the published choice; lower it for short
+    benchmark strings.
+
+    Same asymmetry contract as the MinHash form: the eval n-gram bank
+    is tiny (|eval| x ~tokens rows of short strings), so it BROADCASTS
+    while its measured row count stays under MAX_BROADCAST_ROWS — the
+    train corpus is scanned once and never shuffled; only MATCHED
+    (train_id, eval_id, gram) rows enter the counting shuffle, and
+    those are rare by construction (a random 13-gram collides with a
+    held-out benchmark essentially never). Grams are per-doc distinct
+    on BOTH sides, so n_shared counts distinct shared grams and a
+    degenerate repetitive doc cannot blow up the join fan-out.
+    Everything below the scan is JVM array expressions — no Python in
+    the hot path."""
+    from lsh_apg_spark.operators.textstats import ngrams_col
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(ngrams_col(text_col, n)))
+            .alias("_gram"))
+
+    bank = grams(eval_docs, "eval_id").localCheckpoint(eager=True)
+    return (
+        grams(train, "train_id")
+        .join(_maybe_broadcast(bank, bank.count(), MAX_BROADCAST_ROWS),
+              "_gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_hits)
+    )

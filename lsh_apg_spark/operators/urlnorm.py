@@ -171,3 +171,53 @@ def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
             "dup_ratio",
             F.round(1 - F.col("n_unique_pages") / F.col("n_pages"), 4))
     )
+
+
+def domain_sample(pages: DataFrame, quota: int, url_col: str = "url",
+                  id_col: str = "doc_id", n_salts: int = 32) -> DataFrame:
+    """Per-domain quota sampling: keep at most ``quota`` pages per
+    canonical host, chosen deterministically — rows ranked by
+    (md5(canonical_url), id) within their host, rank <= quota kept.
+    The standard web-corpus re-balancing step (C4 / RefinedWeb cap
+    mega-domains so one forum or link farm cannot dominate the corpus);
+    md5 order makes the sample a uniform, engine-reproducible draw
+    rather than a crawl-order artifact. Returns ONLY the kept rows as
+    (id, host, rank); rows with a NULL/hostless url have no quota basis
+    and all pass through with host = '' and a NULL rank (the url_dedup
+    stance: unknown addresses are not interchangeable with each other).
+
+    Scale shape — the naive form (one row_number window per host) puts
+    an entire mega-host in one task: a host holding 1% of a 10^12-page
+    corpus is a 10^10-row sort on one core. Instead, a two-level
+    rank-and-prune: rows are first ranked within (host, salt) buckets
+    — ``n_salts``-way deterministic split, so the biggest task shrinks
+    n_salts-fold and further salting is a knob — and only bucket ranks
+    <= quota survive to the exact global rank. The global top-quota of
+    a host is necessarily in the top-quota of its bucket, so the prune
+    is lossless; the second window sees <= n_salts * quota rows per
+    host regardless of corpus size. Pure JVM end-to-end.
+    """
+    from pyspark.sql import Window
+
+    c = canonicalize_url(url_col)
+    host = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    rows = pages.select(
+        F.col(id_col), host.alias("host"), F.md5(c).alias("_m"))
+    hostless = (
+        rows.filter(F.col("host").isNull() | (F.col("host") == ""))
+        .select(id_col, F.lit("").alias("host"),
+                F.lit(None).cast("int").alias("rank")))
+    keyed = rows.filter(F.col("host").isNotNull() & (F.col("host") != "")) \
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)),
+                                    F.lit(n_salts)))
+    w_bucket = Window.partitionBy("host", "_salt") \
+        .orderBy(F.col("_m"), F.col(id_col))
+    w_host = Window.partitionBy("host").orderBy(F.col("_m"), F.col(id_col))
+    kept = (
+        keyed.withColumn("_br", F.row_number().over(w_bucket))
+        .filter(F.col("_br") <= quota)
+        .withColumn("rank", F.row_number().over(w_host))
+        .filter(F.col("rank") <= quota)
+        .select(id_col, "host", "rank")
+    )
+    return kept.unionByName(hostless)

@@ -107,3 +107,72 @@ def test_decontaminate_train_side_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_exact_ngram_decontamination(spark):
+    """GPT-3-style exact 8-gram overlap on the planted corpus: the
+    verbatim copy shares every 8-gram with e0, the 1-word mutation
+    loses exactly the windows covering the mutated position, clean
+    docs never appear, and min_hits thresholds admit accordingly."""
+    from lsh_apg_spark.operators.decontaminate import (
+        decontaminate_exact_ngrams,
+    )
+    train, evals = _corpus(spark)
+    n = 8
+    base_toks = [f"tok{i}" for i in range(60)]
+    grams = lambda toks: {  # noqa: E731
+        " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    base_g = grams(base_toks)
+    mut_g = grams([t if t != "tok30" else "changed" for t in base_toks])
+
+    out = {(r["train_id"], r["eval_id"]): r["n_shared"]
+           for r in decontaminate_exact_ngrams(
+               train, evals, n=n, id_col="url").collect()}
+    assert out == {
+        ("t_copy", "e0"): len(base_g),
+        ("t_near", "e0"): len(base_g & mut_g),
+    }
+    # thresholding: only the verbatim copy clears a high bar
+    strict = decontaminate_exact_ngrams(
+        train, evals, n=n, min_hits=len(base_g & mut_g) + 1,
+        id_col="url").collect()
+    assert [(r["train_id"], r["eval_id"]) for r in strict] \
+        == [("t_copy", "e0")]
+
+
+def test_exact_ngram_counts_distinct_grams(spark):
+    """A degenerate repetitive train doc cannot inflate n_shared: the
+    shared-gram count is over DISTINCT grams on both sides, so 10
+    verbatim repetitions of an eval sentence still count each gram
+    once (and the join fan-out stays bounded)."""
+    from lsh_apg_spark.operators.decontaminate import (
+        decontaminate_exact_ngrams,
+    )
+    sent = " ".join(f"w{i}" for i in range(8))  # exactly one 8-gram
+    evals = spark.createDataFrame([("e0", sent)], "url string, text string")
+    train = spark.createDataFrame([("t0", " ".join([sent] * 10))],
+                                  "url string, text string")
+    rows = decontaminate_exact_ngrams(train, evals, n=8,
+                                      id_col="url").collect()
+    # the repeated doc also forms bridging grams (w6 w7 w0 w1 ...) that
+    # the single-sentence eval side lacks; only the exact sentence gram
+    # is shared, and it counts once
+    assert [(r["train_id"], r["eval_id"], r["n_shared"])
+            for r in rows] == [("t0", "e0", 1)]
+
+
+def test_exact_ngram_train_side_never_shuffles(spark):
+    """Same 100 TB contract as the fuzzy form: the gram join must be a
+    broadcast hash join (eval bank broadcasts), so the train corpus is
+    scanned once in place; the only exchange is the counting agg over
+    MATCHED rows."""
+    from lsh_apg_spark.operators.decontaminate import (
+        decontaminate_exact_ngrams,
+    )
+    from lsh_apg_spark.plans import explain
+    train, evals = _corpus(spark)
+    plan = explain.simple_plan(
+        decontaminate_exact_ngrams(train, evals, n=8, id_col="url"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

@@ -1114,3 +1114,42 @@ def test_ann_calibration_on_driver_corpus(spark):
     ivf = ann.ivf_topk(q, e, k=10, stats=s_ivf)
     r_ivf = ann.ann_recall(ivf, exact)
     assert r_ivf >= 0.8, f"ivf recall {r_ivf:.3f}"
+
+
+def test_domain_sample_quota_and_determinism(spark):
+    """domain_sample keeps exactly min(quota, n_host) md5-ranked pages
+    per canonical host, the two-level salted prune is lossless (same
+    answer at any n_salts, matching a direct global ranking computed in
+    Python), and NULL/hostless rows all pass through un-ranked."""
+    import hashlib
+
+    from lsh_apg_spark.operators import urlnorm
+
+    rows = [(i, f"https://a.com/p{i}") for i in range(30)]          # big
+    rows += [(100 + i, f"https://b.org/q{i}") for i in range(3)]    # small
+    rows += [(200, None), (201, None)]                              # hostless
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+
+    quota = 5
+    out = urlnorm.domain_sample(pages, quota=quota)
+    got = {(r["doc_id"], r["host"], r["rank"]) for r in out.collect()}
+
+    # direct global ranking oracle (urls above are already canonical)
+    def expect(host, urls):
+        ranked = sorted(
+            (hashlib.md5(u.encode()).hexdigest(), i) for i, u in urls)
+        return {(i, host, r + 1)
+                for r, (_, i) in enumerate(ranked[:quota])}
+
+    want = expect("a.com", [(i, f"https://a.com/p{i}") for i in range(30)])
+    want |= expect("b.org",
+                   [(100 + i, f"https://b.org/q{i}") for i in range(3)])
+    want |= {(200, "", None), (201, "", None)}
+    assert got == want
+
+    # lossless at any salt fan-out, including the degenerate single salt
+    for n_salts in (1, 4):
+        alt = {(r["doc_id"], r["host"], r["rank"])
+               for r in urlnorm.domain_sample(
+                   pages, quota=quota, n_salts=n_salts).collect()}
+        assert alt == want
