@@ -224,6 +224,26 @@ def _q_domain_sample(spark, sf):
     )
 
 
+def _q_corpus_mix(spark, sf):
+    """Deterministic corpus-mixture sampling (operators/mixing.py):
+    four synthesized sources (web/books/code + an unknown 'forum' that
+    gets the keep-nothing default), rates 0.5/1.0/0.25, verdict by
+    md5-prefix threshold — the DuckDB twin embeds the identical
+    driver-computed threshold literals, so the whole draw is
+    hash-verified."""
+    from lsh_apg_spark.operators.mixing import corpus_mix
+    d = _docs(spark, sf).select("doc_id")
+    src = (F.when(F.col("doc_id") % 11 == 7, F.lit("forum"))
+           .when(F.col("doc_id") % 3 == 0, F.lit("web"))
+           .when(F.col("doc_id") % 3 == 1, F.lit("books"))
+           .otherwise(F.lit("code")))
+    return (
+        corpus_mix(d.withColumn("source", src),
+                   {"web": 0.5, "books": 1.0, "code": 0.25})
+        .orderBy("doc_id")
+    )
+
+
 def _q_extract_verify(spark, sf):
     """Byte-identity extraction check (operators/extract.py) — the
     north_rule's "byte-identical extracted text per url" gate as a
@@ -667,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "domain_stats": _q_domain_stats,
         "domain_sample": _q_domain_sample,
+        "corpus_mix": _q_corpus_mix,
         "extract_verify": _q_extract_verify,
         "lm_score": _q_lm_score,
         "lm_buckets": _q_lm_buckets,
@@ -728,6 +749,33 @@ _SHINGLES_CTE = """
 # DuckDB twin of urlnorm.canonicalize_url — consumed by the url_dedup
 # and domain_stats oracles; expects a `raw(doc_id, url)` CTE upstream
 # and exposes `c(doc_id, url, canonical_url)`.
+def _corpus_mix_oracle() -> str:
+    """DuckDB twin of _q_corpus_mix, with the SAME driver-computed
+    threshold literals corpus_mix embeds (mixing.mix_threshold), so
+    the md5-prefix draw is replayed digit-for-digit."""
+    from lsh_apg_spark.operators.mixing import mix_threshold
+    t = {src: mix_threshold(r)
+         for src, r in (("web", 0.5), ("books", 1.0), ("code", 0.25),
+                        ("forum", 0.0))}
+    return f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 7 THEN 'forum'
+                            WHEN doc_id % 3 = 0 THEN 'web'
+                            WHEN doc_id % 3 = 1 THEN 'books'
+                            ELSE 'code' END AS source
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   substring(md5(doc_id::VARCHAR), 1, 13) <
+                   CASE source WHEN 'web' THEN '{t["web"]}'
+                               WHEN 'books' THEN '{t["books"]}'
+                               WHEN 'code' THEN '{t["code"]}'
+                               ELSE '{t["forum"]}' END AS keep
+            FROM s ORDER BY doc_id
+        """
+
+
 _URL_CANON_CTES = """parts AS (
                 SELECT doc_id, url,
                        lower(regexp_extract(url,
@@ -1135,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h WHERE host IS NULL OR host = ''
             ORDER BY host, rank NULLS LAST, doc_id
         """,
+        "corpus_mix": _corpus_mix_oracle(),
         "domain_stats": """
             WITH raw AS (
                 SELECT doc_id,

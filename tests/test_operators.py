@@ -1153,3 +1153,48 @@ def test_domain_sample_quota_and_determinism(spark):
                for r in urlnorm.domain_sample(
                    pages, quota=quota, n_salts=n_salts).collect()}
         assert alt == want
+
+
+def test_corpus_mix_rates_and_determinism(spark):
+    """corpus_mix keeps each source at ~its prescribed rate (md5 bits
+    are uniform), a full-rate source keeps EVERY row (incl. md5 prefix
+    edge cases), an unlisted source keeps none, and the verdict is a
+    pure function of the id (stable across invocations)."""
+    import hashlib
+
+    from lsh_apg_spark.operators import mixing
+
+    n = 2000
+    rows = [(i, ["web", "books", "code", "forum"][i % 4]) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"web": 0.5, "books": 1.0, "code": 0.1}
+    out = mixing.corpus_mix(docs, rates)
+    kept = {s: 0 for s in ("web", "books", "code", "forum")}
+    verdicts = {}
+    for r in out.collect():
+        kept[r["source"]] += r["keep"]
+        verdicts[r["doc_id"]] = r["keep"]
+    assert kept["books"] == n // 4            # rate 1.0: all
+    assert kept["forum"] == 0                 # unlisted: none
+    assert abs(kept["web"] / (n // 4) - 0.5) < 0.1
+    assert abs(kept["code"] / (n // 4) - 0.1) < 0.06
+    # python replay of the exact rule — engine-independent determinism
+    for i, src in rows[:200]:
+        want = (hashlib.md5(str(i).encode()).hexdigest()[:13]
+                < mixing.mix_threshold(rates.get(src, 0.0)))
+        assert verdicts[i] == want, (i, src)
+    # stable across invocations
+    again = {r["doc_id"]: r["keep"]
+             for r in mixing.corpus_mix(docs, rates).collect()}
+    assert again == verdicts
+
+
+def test_mix_threshold_edges():
+    from lsh_apg_spark.operators import mixing
+    import pytest as _pytest
+    assert mixing.mix_threshold(0.0) == "0" * 13
+    assert mixing.mix_threshold(1.0) == "g"       # > 'f...f': keeps all
+    assert "f" * 13 < "g"
+    assert mixing.mix_threshold(0.5) == format(1 << 51, "013x")
+    with _pytest.raises(ValueError):
+        mixing.mix_threshold(1.5)
