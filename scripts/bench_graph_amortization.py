@@ -15,7 +15,11 @@ timing (the reference amortizes its build identically,
 src/main.cpp:79-90) and the LSH knobs are calibrated ONCE outside
 timing (calibrate_lsh_knobs) and passed explicitly.
 
-Usage: python scripts/bench_graph_amortization.py [reps]
+Usage: python scripts/bench_graph_amortization.py [reps] [Q1,Q2,...]
+(default batches 20,2000; at Q > 2000 recall/ratio/cost evaluate on
+the first 500 queries — the exact golden at Q=20000 is a 20k x 20k
+brute force that would dwarf the walls being measured — while the
+WALLS always cover the full batch).
 Emits one JSON line; paste-ready markdown table on stderr.
 """
 from __future__ import annotations
@@ -36,6 +40,8 @@ from lsh_apg_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    batches = ([int(x) for x in sys.argv[2].split(",")]
+               if len(sys.argv) > 2 else [20, 2000])
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("amortization", master=f"local[{cpus}]",
                       shuffle_partitions=max(8, cpus))
@@ -55,9 +61,15 @@ def main() -> None:
     md = [f"| Q | variant | wall best (s) | runs (wall/steal) | recall "
           f"| cost | n_rounds | avg_hop |",
           "|---|---|---|---|---|---|---|---|"]
-    for q_n in (20, 2000):
+    for q_n in batches:
         q = e.filter(F.col("vec_id") < q_n).localCheckpoint(eager=True)
-        exact = ann.bruteforce_topk(q, e, k=10).localCheckpoint(eager=True)
+        # quality metrics on a 500-query prefix at large Q: the golden
+        # is quadratic in Q and would dominate the measurement session;
+        # the WALLS below always run the full batch
+        eval_n = min(q_n, 500) if q_n > 2000 else q_n
+        q_eval = q.filter(F.col("vec_id") < eval_n)
+        exact = ann.bruteforce_topk(q_eval, e, k=10) \
+            .localCheckpoint(eager=True)
 
         def run_graph(st):
             return ann.graph_topk(q, e, k=10, dim=64, edges=edges,
@@ -88,10 +100,17 @@ def main() -> None:
         block: dict = {}
         for name in variants:
             wall, res, st = kept[name]
-            ev = ann.ann_eval(res, exact,
-                              n_candidates=st.get("n_candidates"),
-                              corpus_size=n_vecs)
+            ev = ann.ann_eval(res.filter(F.col("query_id") < eval_n),
+                              exact)
             row = {"wall_best_sec": wall, "runs": runs[name], **ev}
+            # cost over the FULL batch (ann_eval would divide the
+            # full-batch candidate count by the sampled query count)
+            if st.get("n_candidates") is not None:
+                row["cost"] = round(
+                    st["n_candidates"] / (q_n * n_vecs), 5)
+                ev["cost"] = row["cost"]
+            if eval_n < q_n:
+                row["eval_sample_n"] = eval_n
             for extra in ("n_rounds", "avg_hop", "max_hop",
                           "n_pruned", "avg_admitted"):
                 if extra in st:
