@@ -56,4 +56,6 @@ def corpus_mix(docs: DataFrame, rates: dict[str, float],
     for src, rate in sorted(rates.items()):
         thr = F.when(F.col(source_col) == src,
                      F.lit(mix_threshold(rate))).otherwise(thr)
-    return docs.withColumn("keep", u < thr)
+    # coalesce: a NULL id (no hash basis) must read as a DROP verdict,
+    # not a NULL that silently vanishes from keep-filters
+    return docs.withColumn("keep", F.coalesce(u < thr, F.lit(False)))
