@@ -147,21 +147,18 @@ def _q_pii_scrub(spark, sf):
     return pii.pii_scrub(d.withColumn("text", planted)).orderBy("doc_id")
 
 
-def _q_domain_stats(spark, sf):
-    """Per-host crawl profile over canonical URLs
-    (operators/urlnorm.py:domain_stats). Urls derive from doc_id the
-    same way url_dedup's do, but spread over three hosts (doc_id % 3)
-    with per-variant scheme-case/www/port/fragment/tracking noise;
-    every doc_id % 11 == 7 row gets a NULL url to exercise the
-    unknown-address path."""
-    from lsh_apg_spark.operators import urlnorm
-    d = _docs(spark, sf).select("doc_id")
+def _noisy_url_col():
+    """The multi-host noisy-URL synthesis shared by the domain_stats
+    and domain_sample entries (three hosts by doc_id % 3, per-variant
+    scheme-case/www/port/fragment/tracking noise, NULL url at
+    doc_id % 11 == 7); _NOISY_URL_RAW_SQL is its DuckDB twin — edit
+    both together."""
     g = F.floor(F.col("doc_id") / 5).cast("string")
     v = F.col("doc_id") % 4
     host = (F.when(F.col("doc_id") % 3 == 0, F.lit("example.com"))
             .when(F.col("doc_id") % 3 == 1, F.lit("news.example.net"))
             .otherwise(F.lit("blog.sample.org")))
-    url = (
+    return (
         F.when(F.col("doc_id") % 11 == 7, F.lit(None).cast("string"))
         .when(v == 0, F.concat(F.lit("https://www."), host, F.lit("/p/"), g,
                                F.lit("?utm_source=a")))
@@ -171,7 +168,19 @@ def _q_domain_stats(spark, sf):
                                F.lit("/#frag")))
         .otherwise(F.concat(F.lit("https://"), host, F.lit("/p/"), g,
                             F.lit("?utm_campaign=x&ref=y"))))
-    return urlnorm.domain_stats(d.withColumn("url", url)).orderBy("host")
+
+
+def _q_domain_stats(spark, sf):
+    """Per-host crawl profile over canonical URLs
+    (operators/urlnorm.py:domain_stats). Urls derive from doc_id the
+    same way url_dedup's do, but spread over three hosts (doc_id % 3)
+    with per-variant scheme-case/www/port/fragment/tracking noise;
+    every doc_id % 11 == 7 row gets a NULL url to exercise the
+    unknown-address path."""
+    from lsh_apg_spark.operators import urlnorm
+    d = _docs(spark, sf).select("doc_id")
+    return urlnorm.domain_stats(d.withColumn("url", _noisy_url_col())) \
+        .orderBy("host")
 
 
 def _q_decontaminate_ngram(spark, sf):
@@ -202,23 +211,9 @@ def _q_domain_sample(spark, sf):
     md5 ranking, so the draw itself is hash-verified."""
     from lsh_apg_spark.operators import urlnorm
     d = _docs(spark, sf).select("doc_id")
-    g = F.floor(F.col("doc_id") / 5).cast("string")
-    v = F.col("doc_id") % 4
-    host = (F.when(F.col("doc_id") % 3 == 0, F.lit("example.com"))
-            .when(F.col("doc_id") % 3 == 1, F.lit("news.example.net"))
-            .otherwise(F.lit("blog.sample.org")))
-    url = (
-        F.when(F.col("doc_id") % 11 == 7, F.lit(None).cast("string"))
-        .when(v == 0, F.concat(F.lit("https://www."), host, F.lit("/p/"), g,
-                               F.lit("?utm_source=a")))
-        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
-                               F.lit(":443/p/"), g))
-        .when(v == 2, F.concat(F.lit("https://"), host, F.lit("/p/"), g,
-                               F.lit("/#frag")))
-        .otherwise(F.concat(F.lit("https://"), host, F.lit("/p/"), g,
-                            F.lit("?utm_campaign=x&ref=y"))))
     return (
-        urlnorm.domain_sample(d.withColumn("url", url), quota=10)
+        urlnorm.domain_sample(d.withColumn("url", _noisy_url_col()),
+                              quota=10)
         .orderBy(F.col("host"), F.col("rank").asc_nulls_last(),
                  F.col("doc_id"))
     )
@@ -746,9 +741,6 @@ _SHINGLES_CTE = """
     """
 
 
-# DuckDB twin of urlnorm.canonicalize_url — consumed by the url_dedup
-# and domain_stats oracles; expects a `raw(doc_id, url)` CTE upstream
-# and exposes `c(doc_id, url, canonical_url)`.
 def _corpus_mix_oracle() -> str:
     """DuckDB twin of _q_corpus_mix, with the SAME driver-computed
     threshold literals corpus_mix embeds (mixing.mix_threshold), so
@@ -776,6 +768,35 @@ def _corpus_mix_oracle() -> str:
         """
 
 
+# DuckDB twin of _noisy_url_col() — the raw(doc_id, url) CTE shared by
+# the domain_stats and domain_sample oracles; edit together with the
+# Spark helper.
+_NOISY_URL_RAW_SQL = """raw AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 7 THEN NULL
+                            WHEN doc_id % 4 = 0
+                              THEN 'https://www.' || host || '/p/' || g
+                                   || '?utm_source=a'
+                            WHEN doc_id % 4 = 1
+                              THEN 'HTTPS://' || upper(host) || ':443/p/' || g
+                            WHEN doc_id % 4 = 2
+                              THEN 'https://' || host || '/p/' || g || '/#frag'
+                            ELSE 'https://' || host || '/p/' || g
+                                 || '?utm_campaign=x&ref=y'
+                       END AS url
+                FROM (SELECT doc_id,
+                             CASE doc_id % 3
+                               WHEN 0 THEN 'example.com'
+                               WHEN 1 THEN 'news.example.net'
+                               ELSE 'blog.sample.org' END AS host,
+                             (doc_id // 5)::VARCHAR AS g
+                      FROM documents)
+            )"""
+
+
+# DuckDB twin of urlnorm.canonicalize_url — consumed by the url_dedup
+# and domain_stats/domain_sample oracles; expects a `raw(doc_id, url)`
+# CTE upstream and exposes `c(doc_id, url, canonical_url)`.
 _URL_CANON_CTES = """parts AS (
                 SELECT doc_id, url,
                        lower(regexp_extract(url,
@@ -1145,27 +1166,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY train_id, eval_id
         """,
         "domain_sample": """
-            WITH raw AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % 11 = 7 THEN NULL
-                            WHEN doc_id % 4 = 0
-                              THEN 'https://www.' || host || '/p/' || g
-                                   || '?utm_source=a'
-                            WHEN doc_id % 4 = 1
-                              THEN 'HTTPS://' || upper(host) || ':443/p/' || g
-                            WHEN doc_id % 4 = 2
-                              THEN 'https://' || host || '/p/' || g || '/#frag'
-                            ELSE 'https://' || host || '/p/' || g
-                                 || '?utm_campaign=x&ref=y'
-                       END AS url
-                FROM (SELECT doc_id,
-                             CASE doc_id % 3
-                               WHEN 0 THEN 'example.com'
-                               WHEN 1 THEN 'news.example.net'
-                               ELSE 'blog.sample.org' END AS host,
-                             (doc_id // 5)::VARCHAR AS g
-                      FROM documents)
-            ), """ + _URL_CANON_CTES + """, h AS (
+            WITH """ + _NOISY_URL_RAW_SQL + """, """
+            + _URL_CANON_CTES + """, h AS (
                 SELECT doc_id,
                        regexp_extract(canonical_url,
                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
@@ -1185,27 +1187,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_mix": _corpus_mix_oracle(),
         "domain_stats": """
-            WITH raw AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % 11 = 7 THEN NULL
-                            WHEN doc_id % 4 = 0
-                              THEN 'https://www.' || host || '/p/' || g
-                                   || '?utm_source=a'
-                            WHEN doc_id % 4 = 1
-                              THEN 'HTTPS://' || upper(host) || ':443/p/' || g
-                            WHEN doc_id % 4 = 2
-                              THEN 'https://' || host || '/p/' || g || '/#frag'
-                            ELSE 'https://' || host || '/p/' || g
-                                 || '?utm_campaign=x&ref=y'
-                       END AS url
-                FROM (SELECT doc_id,
-                             CASE doc_id % 3
-                               WHEN 0 THEN 'example.com'
-                               WHEN 1 THEN 'news.example.net'
-                               ELSE 'blog.sample.org' END AS host,
-                             (doc_id // 5)::VARCHAR AS g
-                      FROM documents)
-            ), """ + _URL_CANON_CTES + """
+            WITH """ + _NOISY_URL_RAW_SQL + """, """
+            + _URL_CANON_CTES + """
             SELECT coalesce(regexp_extract(canonical_url,
                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS host,
                    count(*) AS n_pages,

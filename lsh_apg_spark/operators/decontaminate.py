@@ -42,6 +42,11 @@ from lsh_apg_spark.operators.signatures import compute_signatures
 # shingle-set rows are wider, so the eval-side guard uses doc count.
 MAX_BROADCAST_ROWS = 2_000_000
 MAX_BROADCAST_EVAL_DOCS = 200_000
+# the n-gram bank's rows are WIDE (a full n-word string, ~100-250 B at
+# n=13, vs the ~16 B id-pair rows MAX_BROADCAST_ROWS is calibrated
+# for), so the gram-side guard trips ~5-10x earlier to keep the
+# broadcast budget in the same tens-of-MB range
+MAX_BROADCAST_GRAM_ROWS = 400_000
 
 
 def _maybe_broadcast(df: DataFrame, n_rows: int, limit: int) -> DataFrame:
@@ -151,7 +156,8 @@ def decontaminate_exact_ngrams(
 
     Same asymmetry contract as the MinHash form: the eval n-gram bank
     is tiny (|eval| x ~tokens rows of short strings), so it BROADCASTS
-    while its measured row count stays under MAX_BROADCAST_ROWS — the
+    while its measured row count stays under MAX_BROADCAST_GRAM_ROWS
+    (a width-aware cap: gram rows carry a full n-word string) — the
     train corpus is scanned once and never shuffled; only MATCHED
     (train_id, eval_id, gram) rows enter the counting shuffle, and
     those are rare by construction (a random 13-gram collides with a
@@ -171,7 +177,8 @@ def decontaminate_exact_ngrams(
     bank = grams(eval_docs, "eval_id").localCheckpoint(eager=True)
     return (
         grams(train, "train_id")
-        .join(_maybe_broadcast(bank, bank.count(), MAX_BROADCAST_ROWS),
+        .join(_maybe_broadcast(bank, bank.count(),
+                               MAX_BROADCAST_GRAM_ROWS),
               "_gram")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))

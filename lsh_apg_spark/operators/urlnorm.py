@@ -195,29 +195,44 @@ def domain_sample(pages: DataFrame, quota: int, url_col: str = "url",
     <= quota survive to the exact global rank. The global top-quota of
     a host is necessarily in the top-quota of its bucket, so the prune
     is lossless; the second window sees <= n_salts * quota rows per
-    host regardless of corpus size. Pure JVM end-to-end.
+    host regardless of corpus size. Single pass: the source is scanned
+    ONCE and the canonicalization chain evaluated once per row —
+    hostless rows ride the same windows under a per-row sentinel key
+    (each alone in its partition, rank always 1), instead of a second
+    filter branch re-scanning the source. Pure JVM end-to-end.
     """
     from pyspark.sql import Window
 
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
     c = canonicalize_url(url_col)
     host = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     rows = pages.select(
         F.col(id_col), host.alias("host"), F.md5(c).alias("_m"))
-    hostless = (
-        rows.filter(F.col("host").isNull() | (F.col("host") == ""))
-        .select(id_col, F.lit("").alias("host"),
-                F.lit(None).cast("int").alias("rank")))
-    keyed = rows.filter(F.col("host").isNotNull() & (F.col("host") != "")) \
-        .withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)),
-                                    F.lit(n_salts)))
-    w_bucket = Window.partitionBy("host", "_salt") \
+    hostless = F.col("host").isNull() | (F.col("host") == "")
+    # sentinel partition key: "\x00" + id is unique per hostless row
+    # and cannot collide with a real host (hosts never contain NUL),
+    # so every hostless row ranks 1 in both windows and survives the
+    # quota filters without a second scan of the source
+    key = F.when(hostless,
+                 F.concat(F.lit("\x00"), F.col(id_col).cast("string"))) \
+        .otherwise(F.col("host"))
+    keyed = rows.select(
+        F.col(id_col), "host", "_m", hostless.alias("_hl"),
+        key.alias("_key"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("_salt"))
+    w_bucket = Window.partitionBy("_key", "_salt") \
         .orderBy(F.col("_m"), F.col(id_col))
-    w_host = Window.partitionBy("host").orderBy(F.col("_m"), F.col(id_col))
-    kept = (
+    w_key = Window.partitionBy("_key").orderBy(F.col("_m"), F.col(id_col))
+    return (
         keyed.withColumn("_br", F.row_number().over(w_bucket))
         .filter(F.col("_br") <= quota)
-        .withColumn("rank", F.row_number().over(w_host))
-        .filter(F.col("rank") <= quota)
-        .select(id_col, "host", "rank")
+        .withColumn("_r", F.row_number().over(w_key))
+        .filter(F.col("_r") <= quota)
+        .select(
+            id_col,
+            F.when(F.col("_hl"), F.lit("")).otherwise(F.col("host"))
+            .alias("host"),
+            F.when(F.col("_hl"), F.lit(None).cast("int"))
+            .otherwise(F.col("_r")).alias("rank"))
     )
-    return kept.unionByName(hostless)
