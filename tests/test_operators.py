@@ -1198,3 +1198,21 @@ def test_mix_threshold_edges():
     assert mixing.mix_threshold(0.5) == format(1 << 51, "013x")
     with _pytest.raises(ValueError):
         mixing.mix_threshold(1.5)
+
+
+def test_domain_sample_single_scan(spark, tmp_path):
+    """The single-pass contract: one source scan feeds both the quota
+    windows and the hostless pass-through (the sentinel-key design);
+    a second Scan in the plan would mean the canonicalization chain
+    runs twice per input row."""
+    from lsh_apg_spark.operators import urlnorm
+    from lsh_apg_spark.plans import explain
+
+    p = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, None)],
+        "doc_id long, url string").write.parquet(p)
+    plan = explain.simple_plan(
+        urlnorm.domain_sample(spark.read.parquet(p), quota=3))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
