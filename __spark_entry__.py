@@ -426,6 +426,24 @@ def _q_minhash_lsh_clusters(spark, sf):
         .clusters.orderBy("url")
 
 
+def _q_dedup_keep_best(spark, sf):
+    """Keep-BEST dedup (operators/dedup.py:select_representatives
+    composed over the full pipeline): cluster via MinHash+CC, then keep
+    each cluster's highest-alpha_ratio member (tie -> min url) instead
+    of the keep-first rule. Oracle-checkable end-to-end: the DuckDB
+    twin replays the cluster assignment with the recursive CTE and the
+    argmax with a window over the same 4dp-rounded score."""
+    docs = _docs(spark, sf)
+    pages = pages_from_documents(docs)
+    clusters = run_dedup(spark, pages, CFG, include_substring=False).clusters
+    scored = textstats.quality_score(docs).select(
+        F.concat(F.lit("https://docs.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("alpha_ratio").alias("score"))
+    return dedup.select_representatives(clusters.join(scored, "url")) \
+        .orderBy("cluster_id")
+
+
 def _q_simhash_neardup(spark, sf):
     docs = _docs(spark, sf).select(
         F.col("doc_id").cast("string").alias("url"), "text")
@@ -654,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bruteforce_jaccard_pairs": _q_bruteforce_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_clusters": _q_minhash_lsh_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
         "simhash_neardup": _q_simhash_neardup,
         "substring_containment": _q_substring,
         "cosine_neardup": _q_cosine_neardup,
@@ -922,6 +941,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://docs.example/' || node::VARCHAR AS url,
                    min('https://docs.example/' || r::VARCHAR) AS cluster_id
             FROM reach GROUP BY node ORDER BY url
+        """,
+        "dedup_keep_best": "WITH RECURSIVE " + _SHINGLES_CTE + f""",
+            e AS (SELECT a, b FROM bf WHERE jaccard >= {CFG.tau}
+                  UNION
+                  SELECT x.doc_id AS a, y.doc_id AS b
+                  FROM documents x JOIN documents y
+                       ON x.text = y.text AND x.doc_id < y.doc_id),
+            sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.r FROM reach
+                JOIN sym ON sym.a = reach.node
+            ),
+            cl AS (
+                SELECT 'https://docs.example/' || node::VARCHAR AS url,
+                       min('https://docs.example/' || r::VARCHAR)
+                           AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            q AS (
+                SELECT 'https://docs.example/' || doc_id::VARCHAR AS url,
+                       round(length(regexp_replace(
+                           text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                           / greatest(length(text), 1), 4) AS score
+                FROM documents
+            ),
+            ranked AS (
+                SELECT cl.cluster_id, cl.url, q.score,
+                       row_number() OVER (PARTITION BY cl.cluster_id
+                                          ORDER BY q.score DESC, cl.url)
+                           AS rn
+                FROM cl JOIN q USING (url)
+            )
+            SELECT cluster_id, url, score FROM ranked WHERE rn = 1
+            ORDER BY cluster_id
         """,
         "media_features": """
             SELECT doc_id AS id, 'text/' || source AS media_type,

@@ -1216,3 +1216,20 @@ def test_domain_sample_single_scan(spark, tmp_path):
         urlnorm.domain_sample(spark.read.parquet(p), quota=3))
     assert plan.count("Scan parquet") == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_select_representatives_argmax_and_ties(spark):
+    """Keep-best dedup picks the highest-score member per cluster,
+    breaks exact score ties by min id, and emits exactly one row per
+    cluster with the winner's own score."""
+    rows = [
+        ("c1", "u_b", 0.5), ("c1", "u_a", 0.9), ("c1", "u_c", 0.7),
+        ("c2", "u_z", 0.4), ("c2", "u_y", 0.4),   # tie -> min id u_y
+        ("c3", "u_solo", 0.1),
+    ]
+    assign = spark.createDataFrame(
+        rows, "cluster_id string, url string, score double")
+    got = {r["cluster_id"]: (r["url"], r["score"])
+           for r in dedup.select_representatives(assign).collect()}
+    assert got == {"c1": ("u_a", 0.9), "c2": ("u_y", 0.4),
+                   "c3": ("u_solo", 0.1)}
