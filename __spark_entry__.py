@@ -101,6 +101,21 @@ def _q_line_dedup(spark, sf):
     return linedup.line_dedup(_docs(spark, sf)).orderBy("doc_id")
 
 
+def _q_remove_repeated_lines(spark, sf):
+    """Within-doc repeated-line removal (operators/linedup.py:
+    remove_repeated_lines). The synthetic corpus is single-line, so
+    each doc derives a 4-line page with planted repeats (full text and
+    its 40-char prefix, each twice); the DuckDB twin derives the same
+    page and replays the first-occurrence filter with an indexed
+    lambda."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    page = F.concat_ws(
+        "\n", F.col("text"), F.substring("text", 1, 40),
+        F.col("text"), F.substring("text", 1, 40))
+    return linedup.remove_repeated_lines(d.withColumn("text", page)) \
+        .orderBy("doc_id")
+
+
 def _q_url_dedup(spark, sf):
     """Canonical-URL dedup — the crawl-side keep-first pass that
     precedes content dedup (operators/urlnorm.py). documents.parquet
@@ -697,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "top_ngrams": _q_top_ngrams,
         "line_dedup": _q_line_dedup,
+        "remove_repeated_lines": _q_remove_repeated_lines,
         "url_dedup": _q_url_dedup,
         "pii_scrub": _q_pii_scrub,
         "domain_stats": _q_domain_stats,
@@ -1106,6 +1122,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs
             FROM x GROUP BY ngram
             ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+        """,
+        "remove_repeated_lines": """
+            WITH p AS (
+                SELECT doc_id,
+                       text || chr(10) || substring(text, 1, 40)
+                            || chr(10) || text
+                            || chr(10) || substring(text, 1, 40) AS page
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       list_filter(string_split(page, chr(10)),
+                                   s -> len(trim(s)) > 0) AS ls
+                FROM p
+            ), k AS (
+                SELECT doc_id, ls,
+                       list_filter(ls, (x, i) -> list_position(ls, x) = i)
+                           AS ks
+                FROM t
+            )
+            SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+                   len(ks) AS n_kept, len(ls) - len(ks) AS n_dropped
+            FROM k ORDER BY doc_id
         """,
         "line_dedup": """
             WITH p AS (

@@ -79,3 +79,43 @@ def line_dedup(docs: DataFrame, delim: str = "\n", id_col: str = "doc_id",
         .select(id_col, "text", "n_kept",
                 (F.col("_n_lines") - F.col("n_kept")).alias("n_dropped"))
     )
+
+
+def remove_repeated_lines(docs: DataFrame, delim: str = "\n",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """WITHIN-document repeated-line removal (the RefinedWeb-style
+    in-page cleanup; `line_dedup` above is the cross-document pass):
+    keep the first occurrence of each distinct non-blank line inside a
+    document, drop its later repeats, reassemble in original order.
+    Returns (id, text, n_kept, n_dropped).
+
+    Scale shape: a pure per-row JVM array expression — zero shuffles,
+    zero Python, embarrassingly parallel at any corpus size. The
+    first-occurrence test is array_position(lines, x) == index, O(L^2)
+    string compares per doc; web pages are <= a few thousand lines, so
+    the quadratic term is nanoseconds-scale per row and stays inside
+    whole-stage codegen (a sort- or map-based O(L log L) form would
+    leave the codegen path for no measurable gain). Blank /
+    whitespace-only lines are dropped outright, matching line_dedup's
+    stance. ``delim`` is a literal, quoted the same way as
+    line_dedup's."""
+    qdelim = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    # staged columns, not one nested expression: embedding the blank-
+    # filter lambda INSIDE the first-occurrence lambda collides the
+    # auto-named lambda variables and silently mis-evaluates (observed:
+    # size(kept) disagreeing with the joined kept text)
+    lined = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), qdelim, -1),
+                 lambda s: F.length(F.trim(s)) > 0).alias("_ls"))
+    kept = lined.select(
+        F.col(id_col), "_ls",
+        F.filter("_ls", lambda x, i:
+                 F.array_position(F.col("_ls"), x) == i + 1).alias("_ks"))
+    return kept.select(
+        F.col(id_col),
+        F.array_join("_ks", delim).alias("text"),
+        F.size("_ks").alias("n_kept"),
+        (F.size("_ls") - F.size("_ks")).alias("n_dropped"),
+    )

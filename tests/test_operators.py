@@ -1233,3 +1233,26 @@ def test_select_representatives_argmax_and_ties(spark):
            for r in dedup.select_representatives(assign).collect()}
     assert got == {"c1": ("u_a", 0.9), "c2": ("u_y", 0.4),
                    "c3": ("u_solo", 0.1)}
+
+
+def test_remove_repeated_lines_within_doc(spark):
+    """First occurrence of each non-blank line survives in order,
+    later repeats drop, blanks drop outright, cross-doc repeats are
+    untouched (the WITHIN-doc contract), and the plan is shuffle-free."""
+    from lsh_apg_spark.operators import linedup
+    from lsh_apg_spark.plans import explain
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\n\na\nc\nb\na"), (2, "a\nx"), (3, "  \n\n")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           linedup.remove_repeated_lines(docs).collect()}
+    assert (out[1]["text"], out[1]["n_kept"], out[1]["n_dropped"]) \
+        == ("a\nb\nc", 3, 3)
+    # doc 2 keeps its own 'a' — doc 1 owning 'a' is irrelevant here
+    assert out[2]["text"] == "a\nx" and out[2]["n_dropped"] == 0
+    # all-blank doc: empty output, nothing counted kept or dropped
+    assert (out[3]["text"], out[3]["n_kept"], out[3]["n_dropped"]) \
+        == ("", 0, 0)
+    plan = explain.simple_plan(linedup.remove_repeated_lines(docs))
+    assert "Exchange" not in plan, plan
