@@ -1256,3 +1256,15 @@ def test_remove_repeated_lines_within_doc(spark):
         == ("", 0, 0)
     plan = explain.simple_plan(linedup.remove_repeated_lines(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_corpus_mix_shuffle_free(spark):
+    """The mixture verdict is a pure per-row expression — no Exchange
+    may appear in the plan at any corpus size."""
+    from lsh_apg_spark.operators import mixing
+    from lsh_apg_spark.plans import explain
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "books")], "doc_id long, source string")
+    plan = explain.simple_plan(
+        mixing.corpus_mix(docs, {"web": 0.5, "books": 1.0}))
+    assert "Exchange" not in plan, plan
