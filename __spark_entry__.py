@@ -520,6 +520,20 @@ def _graph_edges(spark, sf):
     return _GRAPH_CACHE[key]
 
 
+_CORPUS_N_CACHE: dict = {}
+
+
+def _corpus_n(spark, sf):
+    """Memoized corpus cardinality for cost normalization — the
+    embeddings fixture is immutable per (session, sf), so counting it
+    on every _q_ann_eval invocation is a wasted job (the same pattern
+    r3 flagged and fixed for _q_ann_graph_incr)."""
+    key = (id(spark), sf)
+    if key not in _CORPUS_N_CACHE:
+        _CORPUS_N_CACHE[key] = _emb(spark, sf).count()
+    return _CORPUS_N_CACHE[key]
+
+
 def _q_ann_graph(spark, sf):
     """Flagship ANN path: LSH-seeded proximity-graph search (the
     'APG' — divGraph::knn + bestFirstSearchInGraph,
@@ -543,7 +557,7 @@ def _base_graph_split(spark, sf):
     key = (id(spark), sf)
     if key not in _INCR_CACHE:
         e = _emb(spark, sf)
-        cut = int(e.count() * 0.9)
+        cut = int(_corpus_n(spark, sf) * 0.9)
         base = e.filter(F.col("vec_id") < cut)
         base_edges = ann.build_knn_graph(base, T=16, dim=64, seed=42) \
             .localCheckpoint(eager=True)
@@ -600,7 +614,7 @@ def _q_ann_eval(spark, sf):
     e = _emb(spark, sf)
     queries_df = e.filter(F.col("vec_id") < 20)
     exact = ann.bruteforce_topk(queries_df, e, k=10)
-    n = e.count()
+    n = _corpus_n(spark, sf)
     edges = _graph_edges(spark, sf)
     rows = []
     for name, fn in [

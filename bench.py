@@ -872,7 +872,69 @@ def main() -> None:
         if os.path.exists(prior):
             with open(prior) as f:
                 result["scaling"] = _slim_scaling(json.load(f))
-    print(json.dumps(result))
+
+    # ---- emission (VERDICT r4 wrong #1): r4's single giant JSON line
+    # outgrew the driver's ~4 KB tail capture and the official
+    # cross-round record lost the headline (BENCH_r04.json parsed:
+    # null). stdout now carries exactly ONE SLIM headline line — the
+    # contract fields plus compact ann/scaling scalars — and the full
+    # detail (per-rep walls, per-stage walls, calibration dicts,
+    # scaling series) is written to BENCH/bench_full_latest.json,
+    # whose path rides the slim line.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH", "bench_full_latest.json")
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        detail_path = None
+    print(json.dumps(_slim_headline(result, detail_path)))
+
+
+def _slim_headline(result: dict, detail_path: str | None) -> dict:
+    """The one stdout line: driver contract fields + compact evidence
+    scalars, hard-capped well under the driver's tail window."""
+    slim = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": {k: round(v, 3) for k, v in result["queries"].items()},
+        "sf": result["sf"],
+        "docs": result["docs"],
+        "docs_per_sec": result["docs_per_sec"],
+        "cpus": result["cpus"],
+        "dedup_stages": {k: round(v, 2)
+                         for k, v in result["dedup_stages"].items()},
+        "detail": detail_path,
+    }
+    ann = {}
+    for block in ("ann_eval", "ann_eval_clustered"):
+        if isinstance(result.get(block), dict):
+            ann[block.replace("ann_eval", "eval").lstrip("_") or "eval"] = {
+                v: {"recall": ev.get("recall"), "cost": ev.get("cost"),
+                    "wall_sec": ev.get("wall_sec")}
+                for v, ev in result[block].items() if isinstance(ev, dict)}
+    if ann:
+        slim["ann"] = ann
+    sc = result.get("scaling")
+    if isinstance(sc, dict):
+        s = {k: sc[k] for k in ("efficiency", "host_ceiling",
+                                "efficiency_vs_host_ceiling", "commit")
+             if k in sc}
+        for lvl in ("lo", "hi"):
+            if isinstance(sc.get(lvl), dict):
+                s[lvl] = {k: sc[lvl].get(k) for k in
+                          ("cpus", "docs", "wall_sec", "docs_per_sec",
+                           "steal_sec") if k in sc[lvl]}
+        slim["scaling"] = s
+    # belt-and-braces size guard: drop optional blocks, never the
+    # contract fields, if the line somehow approaches the window
+    for drop in ("ann", "dedup_stages", "scaling"):
+        if len(json.dumps(slim)) <= 3000:
+            break
+        slim.pop(drop, None)
+    return slim
 
 
 def _slim_scaling(s: dict) -> dict:

@@ -438,12 +438,13 @@ def lsh_topk(
     setW analogue: a seeded corpus probe picks the cheapest config
     whose modeled recall clears 0.95, falling back to the documented
     broad defaults (8x4, 2 probes) on corpora with no
-    neighbor/background separation. If ANY knob is passed explicitly,
-    calibration is skipped and the remaining knobs take the documented
-    defaults — the calibrated triple is jointly optimized, so grafting
-    one caller knob onto it would run a config whose modeled
-    recall/cost was never evaluated while stats reported the discarded
-    config's estimates. Production batch jobs should calibrate ONCE
+    neighbor/background separation. The knob triple is all-or-nothing:
+    pass all of (bands, rows_per_band, num_probes) explicitly, or none
+    to self-calibrate — a partial set raises ValueError, because the
+    calibrated triple is jointly optimized and grafting one caller
+    knob onto it would run a config whose modeled recall/cost was
+    never evaluated while stats reported the discarded config's
+    estimates. Production batch jobs should calibrate ONCE
     and pass explicit knobs; the auto path pays one small probe (a
     TakeOrdered sample + one brute-force pass for ~32 queries) per
     call. With metric="l2_sq" the calibrated bucket width overrides
@@ -459,10 +460,17 @@ def lsh_topk(
             w = kn["w"]
         if stats is not None:
             stats["calibration"] = kn
-    else:
-        bands = 8 if bands is None else bands
-        rows_per_band = 4 if rows_per_band is None else rows_per_band
-        num_probes = 2 if num_probes is None else num_probes
+    elif bands is None or rows_per_band is None or num_probes is None:
+        # all-or-nothing: the calibrated triple is jointly optimized,
+        # so a partial override would run a config whose recall/cost
+        # was never modeled — and silently filling the gaps with
+        # defaults would be an unannounced behavior change. Loud
+        # beats lurking.
+        raise ValueError(
+            "lsh_topk knobs are all-or-nothing: pass all of "
+            "(bands, rows_per_band, num_probes) explicitly, or none "
+            f"to self-calibrate; got bands={bands}, "
+            f"rows_per_band={rows_per_band}, num_probes={num_probes}")
     cb = _bucket_rows(corpus, "neighbor", dim, bands, rows_per_band,
                       seed, num_probes, id_col, vec_col, metric, w)
     if bucket_cap is not None:
@@ -1299,8 +1307,16 @@ def calibrate_ivf_knobs(
             cost_m = float(np.mean(probed_mass[:, p_m - 1]) / n)
             if cost_m > max_cost:
                 p_m, cost_m = p, cost
+            # est_recall is the PER-QUERY mean at the returned p_m —
+            # the same unit the LCB admission vouched for (the pooled
+            # pair-level mean would mix units and can exceed what the
+            # criterion guaranteed); the pooled figure rides along
+            # explicitly labeled.
+            hit_m = (pair_rank < p_m).astype(np.float64)
+            per_q_m = np.array([hit_m[qids == j].mean() for j in uq])
             return {"n_cells": n_cells, "nprobe": p_m, "calibrated": True,
-                    "est_recall": round(float(np.mean(pair_rank < p_m)), 4),
+                    "est_recall": round(float(per_q_m.mean()), 4),
+                    "est_recall_pooled": round(float(hit_m.mean()), 4),
                     "est_recall_lcb": round(lcb, 4),
                     "est_cost": round(cost_m, 4),
                     "centroids": centroids}

@@ -60,12 +60,13 @@ def lm_score(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
     corpus LM). OOV tokens score the smoothing floor. avg_logp is
     rounded to 4dp — bucketing cuts on it, and the rounding makes the
     cutoff comparisons exact across engines/summation orders."""
-    # the broadcast gate needs a measured row count; persist first so
-    # the count's materialization is REUSED by the score join instead
-    # of re-running the whole training aggregation (the LM is
-    # vocabulary-sized, so the cache is small even when the corpus
-    # is not)
-    lm = lm.persist()
+    # the broadcast gate needs a measured row count; localCheckpoint
+    # (eager) materializes the training aggregation ONCE so the count
+    # and the score join reuse it — and unlike persist(), the blocks
+    # are released by the context cleaner when this DataFrame goes out
+    # of scope, so repeated lm_score calls in one session don't
+    # accumulate cached partitions for the process lifetime
+    lm = lm.localCheckpoint(eager=True)
     vocab = lm.count()
     lm_side = F.broadcast(lm) if vocab <= broadcast_vocab_limit else lm
     toks = docs.select(F.col(id_col), F.explode(tokens_col(text_col))

@@ -113,19 +113,21 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
             .agg(F.min(id_col).alias("_keep_id"))
         )
     elif keep == "latest":
-        # max over (ts NULLS-lose, -id): struct ordering is
-        # lexicographic, so newest ts wins and min id breaks ties; a
-        # NULL ts sorts below every timestamp under max() only if no
-        # row is all-NULL — coalesce to the epoch floor so mixed
-        # groups behave and all-NULL groups still pick min id
+        # min over (-unix_micros(ts), id): struct ordering is
+        # lexicographic, so newest ts wins and min id breaks ties.
+        # The negation lives on the TIMESTAMP (cast to micros), never
+        # on the id, so the policy is id-type-agnostic — the engine's
+        # natural page key is a STRING url and numeric negation of it
+        # would throw under ANSI mode. A NULL ts coalesces to the
+        # epoch floor so mixed groups prefer any real timestamp and
+        # all-NULL groups still pick min id.
         ts = F.coalesce(F.col(ts_col),
                         F.to_timestamp(F.lit("1970-01-01")))
         winners = (
             with_url.groupBy("canonical_url")
-            .agg(F.max(F.struct(ts.alias("_ts"),
-                                (-F.col(id_col)).alias("_nid"))).alias("_w"))
-            .select("canonical_url",
-                    (-F.col("_w._nid")).alias("_keep_id"))
+            .agg(F.min(F.struct((-F.unix_micros(ts)).alias("_nts"),
+                                F.col(id_col).alias("_id"))).alias("_w"))
+            .select("canonical_url", F.col("_w._id").alias("_keep_id"))
         )
     else:
         raise ValueError(f"unknown keep policy: {keep!r}")
@@ -213,9 +215,18 @@ def domain_sample(pages: DataFrame, quota: int, url_col: str = "url",
     # sentinel partition key: "\x00" + id is unique per hostless row
     # and cannot collide with a real host (hosts never contain NUL),
     # so every hostless row ranks 1 in both windows and survives the
-    # quota filters without a second scan of the source
+    # quota filters without a second scan of the source. A NULL id
+    # would make the concat NULL and pool every NULL-id hostless row
+    # into ONE window partition (quota would then drop some, breaking
+    # the all-pass-through contract) — fall back to a per-row unique
+    # id so each still stands alone.
     key = F.when(hostless,
-                 F.concat(F.lit("\x00"), F.col(id_col).cast("string"))) \
+                 F.concat(F.lit("\x00"),
+                          F.coalesce(
+                              F.col(id_col).cast("string"),
+                              F.concat(F.lit("\x00"),
+                                       F.monotonically_increasing_id()
+                                       .cast("string"))))) \
         .otherwise(F.col("host"))
     keyed = rows.select(
         F.col(id_col), "host", "_m", hostless.alias("_hl"),

@@ -581,6 +581,51 @@ def test_url_dedup_keep_latest(spark):
                    7: True}                      # NULL url passes through
 
 
+def test_url_dedup_keep_latest_string_id(spark):
+    """ADVICE r4 (urlnorm.py:126): the engine's natural page key is a
+    STRING url/id — keep='latest' must not numerically negate the id
+    (ANSI mode throws CAST_INVALID_INPUT on strings; non-ANSI would
+    silently keep nothing). Tie-break = lexicographic MIN id among the
+    newest-timestamp rows."""
+    from lsh_apg_spark.operators import urlnorm
+    pages = spark.createDataFrame(
+        [("b", "https://a.com/x", "2024-03-01 00:00:00"),
+         ("a", "https://A.com/x?utm_source=s", "2024-05-01 00:00:00"),
+         ("c", "https://www.a.com/x", "2024-05-01 00:00:00"),  # ts tie
+         ("d", "https://a.com/y", None),
+         ("e", None, "2024-01-01 00:00:00")],
+        "page_key string, url string, warc_ts string")
+    pages = pages.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = {r["page_key"]: r["keep"]
+           for r in urlnorm.url_dedup(
+               pages, keep="latest", id_col="page_key").collect()}
+    assert out == {"a": True, "b": False, "c": False,  # min-id ts tie
+                   "d": True,                          # lone NULL ts
+                   "e": True}                          # NULL url passes
+    # keep='first' with string ids: lexicographic min id wins
+    first = {r["page_key"]: r["keep"]
+             for r in urlnorm.url_dedup(
+                 pages, id_col="page_key").collect()}
+    assert first == {"a": True, "b": False, "c": False,
+                     "d": True, "e": True}
+
+
+def test_domain_sample_null_id_hostless_rows_all_pass(spark):
+    """ADVICE r4 (urlnorm.py:218): NULL-id hostless rows must each get
+    their own sentinel partition (a NULL concat would pool them into
+    one window and quota-drop some), so ALL pass through un-ranked."""
+    from lsh_apg_spark.operators import urlnorm
+    rows = [(float(i), f"https://a.com/p{i}") for i in range(4)]
+    rows += [(None, None)] * 5          # NULL id AND NULL url
+    rows += [(99.0, None)]              # non-NULL id, NULL url
+    pages = spark.createDataFrame(rows, "doc_id double, url string")
+    out = urlnorm.domain_sample(pages, quota=2).collect()
+    hostless = [r for r in out if r["host"] == ""]
+    assert len(hostless) == 6, out      # every hostless row survives
+    assert all(r["rank"] is None for r in hostless)
+    assert sum(1 for r in out if r["host"] == "a.com") == 2
+
+
 def test_pii_scrub_counts_and_redaction(spark):
     from lsh_apg_spark.operators import pii
     docs = spark.createDataFrame(
@@ -1114,6 +1159,19 @@ def test_ann_calibration_on_driver_corpus(spark):
     ivf = ann.ivf_topk(q, e, k=10, stats=s_ivf)
     r_ivf = ann.ann_recall(ivf, exact)
     assert r_ivf >= 0.8, f"ivf recall {r_ivf:.3f}"
+
+
+def test_lsh_topk_partial_knobs_raise(embeddings):
+    """ADVICE r4 (ann.py:463): a partial knob set must fail loudly —
+    the calibrated (bands, rows_per_band, num_probes) triple is
+    jointly optimized, so silently defaulting the omitted knobs runs
+    an unmodeled config with no signal to the caller."""
+    q = embeddings.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="all-or-nothing"):
+        ann.lsh_topk(q, embeddings, k=5, dim=32, bands=16)
+    with pytest.raises(ValueError, match="all-or-nothing"):
+        ann.lsh_topk(q, embeddings, k=5, dim=32,
+                     rows_per_band=4, num_probes=2)
 
 
 def test_domain_sample_quota_and_determinism(spark):
