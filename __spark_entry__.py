@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsh_apg_spark.config import DedupConfig
+from lsh_apg_spark.functions.hashing import with_simhash_md5
 from lsh_apg_spark.operators import ann, dedup, linedup, textstats
 from lsh_apg_spark.operators.banding import explode_buckets
 from lsh_apg_spark.operators.signatures import compute_signatures
@@ -460,9 +461,19 @@ def _q_dedup_keep_best(spark, sf):
 
 
 def _q_simhash_neardup(spark, sf):
+    """SimHash near-dups over the md5-re-frozen JVM fingerprint
+    (functions/hashing.py:with_simhash_md5): the shingle hash is the
+    top 64 bits of md5(shingle), so DuckDB can replay the whole
+    fingerprint + brute-force Hamming and the row goes
+    rows+schema+hash green (VERDICT r4 item 3). Candidate generation
+    stays the pigeonhole block banding of simhash_neardup_pairs; with
+    4 blocks and hamming_max=3 it is EXACT (every qualifying pair
+    shares a block), so band-then-verify equals the oracle's all-pairs
+    Hamming filter."""
     docs = _docs(spark, sf).select(
         F.col("doc_id").cast("string").alias("url"), "text")
-    sigs = compute_signatures(docs, CFG)
+    sigs = with_simhash_md5(docs, "text", k=CFG.shingle_size) \
+        .select("url", "simhash")
     return dedup.simhash_neardup_pairs(sigs, CFG).orderBy("a", "b")
 
 
@@ -1007,6 +1018,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster_id, url, score FROM ranked WHERE rn = 1
             ORDER BY cluster_id
+        """,
+        "simhash_neardup": f"""
+            WITH t AS (
+                SELECT doc_id::VARCHAR AS id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS toks
+                FROM documents
+            ), shs AS (
+                SELECT id, unnest(list_distinct(
+                    CASE WHEN len(toks) >= {CFG.shingle_size}
+                         THEN list_transform(
+                             range(1, len(toks) - {CFG.shingle_size} + 2),
+                             i -> array_to_string(
+                                 toks[i:i + {CFG.shingle_size} - 1],
+                                 chr(31)))
+                         ELSE [array_to_string(toks, chr(31))]
+                    END)) AS s
+                FROM t
+            ), hx AS (
+                SELECT id, substr(md5(s), 1, 16) AS h FROM shs
+            ), bits AS (
+                SELECT id, j,
+                       (((strpos('0123456789abcdef',
+                                 substr(h, (j // 4)::INT + 1, 1)) - 1)
+                         >> (3 - (j % 4))::INT) & 1) AS bit
+                FROM hx, (SELECT unnest(range(0, 64)) AS j)
+            ), maj AS (
+                SELECT id, j,
+                       CASE WHEN 2 * sum(bit) >= count(*) THEN 1
+                            ELSE 0 END AS m
+                FROM bits GROUP BY id, j
+            ), ham AS (
+                SELECT x.id AS a, y.id AS b,
+                       sum(CASE WHEN x.m <> y.m THEN 1 ELSE 0 END)::INT
+                           AS hamming
+                FROM maj x JOIN maj y ON x.j = y.j AND x.id < y.id
+                GROUP BY x.id, y.id
+            )
+            SELECT a, b, hamming FROM ham
+            WHERE hamming <= {CFG.hamming_max} ORDER BY a, b
         """,
         "media_features": """
             SELECT doc_id AS id, 'text/' || source AS media_type,

@@ -6,7 +6,7 @@ aggregate, bit ops) — no Python in the banding/prefilter path."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lsh_apg_spark.config import DedupConfig
@@ -69,6 +69,96 @@ def signature_agreement(mh_a: Column | str, mh_b: Column | str) -> Column:
         lambda acc, x: acc + x,
     )
     return agree.cast("double") / F.size(mh_a).cast("double")
+
+
+_HEX_ALPHABET = "0123456789abcdef"
+
+
+def _nibble_bits() -> Column:
+    """Literal nibble->bits lookup (value v at 1-based index v+1 maps
+    to its 4 bits, MSB first); a pure literal, so it is safe to
+    reference inside lambda bodies (no LambdaFunction nodes to
+    collide). Built lazily — Column literals need an active session."""
+    return F.array(*[
+        F.array(*[F.lit((v >> (3 - b)) & 1) for b in range(4)])
+        for v in range(16)
+    ])
+
+
+def with_simhash_md5(df: "DataFrame", text_col: str = "text", k: int = 3,
+                     out_col: str = "simhash") -> "DataFrame":
+    """Attach a 64-bit SimHash column computed ENTIRELY in JVM
+    expressions, with the shingle hash re-frozen onto md5 so every step
+    is replayable in ANSI-ish SQL (the DuckDB oracle twin) — the
+    oracle-verifiable form of the SimHash fingerprint (VERDICT r4
+    'What's missing' #2). Zero Python, zero shuffles: a pure per-row
+    map over the scan, so the stage scales linearly with input splits.
+
+    Frozen definition (a recall-parity config surface — change only
+    with a re-freeze):
+
+    1. tokens = whitespace-split of trim(lower(text)); shingles = the
+       DISTINCT word k-shingles joined with chr(31) (documents shorter
+       than k tokens degrade to one whole-text shingle, so every doc
+       has a non-empty shingle set — same degrade rule as the MinHash
+       kernel, functions/kernels.py:shingle_hashes);
+    2. shingle hash = the first 16 hex chars of md5(shingle) = the top
+       64 bits of the digest, read big-endian;
+    3. bit j (j=0..63, MSB first) of the SimHash is the majority vote
+       of bit j across the doc's distinct shingle hashes (ties -> 1,
+       matching ``votes*2 >= count``).
+
+    Intermediates are staged as real columns between the higher-order
+    functions — a lambda-built Column must never be referenced inside
+    another lambda's body (silent mis-evaluation under auto-named
+    lambda-variable collision; pinned by
+    tests/test_operators.py::test_simhash_md5_matches_python).
+    """
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                   r"\s+")
+    staged = df.withColumn("_sh_toks", toks)
+    n = F.size(F.col("_sh_toks"))
+    whole = F.array(F.concat_ws("\x1f", F.col("_sh_toks")))
+    kgrams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws("\x1f", F.slice(F.col("_sh_toks"), i + 1, k)))
+    staged = staged.withColumn(
+        "_sh_set",
+        F.array_distinct(F.when(n >= k, kgrams).otherwise(whole)))
+    # one md5 per distinct shingle, staged so the vote fold below never
+    # recomputes the digest per nibble
+    staged = staged.withColumn(
+        "_sh_hex",
+        F.transform(F.col("_sh_set"),
+                    lambda s: F.substring(F.md5(s), 1, 16)))
+    # votes[j] = number of shingle hashes with bit j set; the staged
+    # _sh_hex enters the fold in INPUT position only (safe), and the
+    # zip_with / bit expansion use fresh inline lambdas plus the
+    # literal _NIBBLE_BITS — never a staged lambda-built Column inside
+    # a lambda body
+    nib = _nibble_bits()
+    votes = F.aggregate(
+        F.col("_sh_hex"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.flatten(F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda p: F.element_at(
+                    nib,
+                    F.position(F.substr(h, p, F.lit(1)),
+                               F.lit(_HEX_ALPHABET)).cast("int")))),
+            lambda x, y: x + y),
+    )
+    staged = staged.withColumn("_sh_votes", votes) \
+        .withColumn("_sh_cnt", F.size(F.col("_sh_set")))
+    value = F.lit(0).cast("long")
+    for j in range(64):
+        bit = (F.element_at(F.col("_sh_votes"), j + 1) * 2
+               >= F.col("_sh_cnt")).cast("long")
+        value = value.bitwiseOR(F.shiftleft(bit, 63 - j))
+    return staged.withColumn(out_col, value) \
+        .drop("_sh_toks", "_sh_set", "_sh_hex", "_sh_votes", "_sh_cnt")
 
 
 def simhash_hamming(sh_a: Column | str, sh_b: Column | str) -> Column:

@@ -286,10 +286,11 @@ def test_ivf_centroid_training_deterministic(embeddings):
 
 def test_simhash_neardup_on_fixture(spark):
     from lsh_apg_spark.fixtures import PAGES_SCHEMA, generate_pages
-    from lsh_apg_spark.operators.signatures import compute_signatures
+    from lsh_apg_spark.functions.hashing import with_simhash_md5
     fx = generate_pages(n_docs=120, seed=3)
     pages = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA)
-    sigs = compute_signatures(pages.select("url", "text"), CFG)
+    sigs = with_simhash_md5(pages.select("url", "text"), "text",
+                            k=CFG.shingle_size).select("url", "simhash")
     pairs = dedup.simhash_neardup_pairs(sigs, CFG)
     found = {(r["a"], r["b"]) for r in pairs.collect()}
     # exact duplicates have hamming 0 → must all be found
@@ -298,6 +299,51 @@ def test_simhash_neardup_on_fixture(spark):
             for j in range(i + 1, len(grp)):
                 p = (min(grp[i], grp[j]), max(grp[i], grp[j]))
                 assert p in found, f"exact-dup pair {p} missing"
+
+
+def _simhash_md5_py(text: str, k: int) -> int:
+    """Pure-Python twin of functions/hashing.py:with_simhash_md5 —
+    pins the JVM higher-order-function pipeline bit-for-bit (guards
+    the staged-lambda rules; see the nested-lambda pitfall note in the
+    operator docstring)."""
+    import hashlib
+    toks = (text or "").strip().lower().split()
+    if len(toks) >= k:
+        sh = {"\x1f".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    else:
+        sh = {"\x1f".join(toks)}
+    votes = [0] * 64
+    for s in sh:
+        v = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+        for j in range(64):
+            votes[j] += (v >> (63 - j)) & 1
+    val = 0
+    for j in range(64):
+        if votes[j] * 2 >= len(sh):
+            val |= 1 << (63 - j)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def test_simhash_md5_matches_python(spark):
+    from lsh_apg_spark.functions.hashing import with_simhash_md5
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "",
+        "one",
+        "one two",
+        "hello hello hello hello",
+        "Mixed CASE Text  with   extra   spaces and repeated words "
+        "repeated words",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in with_simhash_md5(df, "text", k=3).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _simhash_md5_py(t or "", 3), f"doc {i}: {t!r}"
 
 
 def test_cosine_neardup_bucketed_equals_exact(embeddings):
