@@ -877,11 +877,14 @@ _URL_CANON_CTES = """parts AS (
                             ELSE host0 END AS host,
                        regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
                                       '/+$', '') AS path,
-                       regexp_replace(regexp_replace(regexp_replace(
-                           regexp_extract(rest, '^[^?]*\\?(.*)$', 1),
-                           '&(utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
-                           '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&', ''),
-                           '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', '') AS q
+                       array_to_string(list_sort(string_split(
+                           regexp_replace(regexp_replace(regexp_replace(
+                               regexp_extract(rest, '^[^?]*\\?(.*)$', 1),
+                               '&(utm_[a-z]+|fbclid|gclid|ref)=[^&]*',
+                               '', 'g'),
+                               '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&', ''),
+                               '^(utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', ''),
+                           '&')), '&') AS q
                 FROM parts
             ), c AS (
                 SELECT doc_id, url,

@@ -50,7 +50,12 @@ def canonicalize_url(url: Column | str) -> Column:
        once, so Spark's replace-all and an explicitly-'g'-flagged
        DuckDB call see identical match sets; a literal ``?`` inside a
        query value is data and survives untouched
-    5. trailing slashes collapsed ON THE PATH (``.../path/`` ==
+    5. surviving query params sorted lexicographically (``?a=1&b=2``
+       and ``?b=2&a=1`` are the same page on most sites) — a plain
+       split/sort/join on ``&``, binary string order in both engines;
+       a site whose handler is order-SENSITIVE merges distinct pages,
+       the same acceptable-collapse trade rule 4 already makes
+    6. trailing slashes collapsed ON THE PATH (``.../path/`` ==
        ``.../path``, bare host without ``/``); the query is
        re-appended only when non-empty
 
@@ -74,6 +79,7 @@ def canonicalize_url(url: Column | str) -> Column:
     q = F.regexp_replace(q, r"&(" + tp + r")=[^&]*", "")            # &p=v
     q = F.regexp_replace(q, r"^(" + tp + r")=[^&]*&", "")           # p=v&x -> x
     q = F.regexp_replace(q, r"^(" + tp + r")=[^&]*$", "")           # p=v alone
+    q = F.array_join(F.array_sort(F.split(q, "&")), "&")            # param sort
     return F.when(scheme == "", u).otherwise(
         F.concat(scheme, F.lit("://"), host, path,
                  F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))))

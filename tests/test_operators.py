@@ -574,6 +574,13 @@ def test_canonicalize_url_cases(spark):
         ("https://example.com/docs/?id=1", "https://example.com/docs?id=1"),
         # ...but never inside a query value
         ("https://example.com/a?id=v/", "https://example.com/a?id=v/"),
+        # query params sort (same page whatever the param order)...
+        ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?b=2&utm_source=s&a=1",
+         "https://example.com/a?a=1&b=2"),
+        # ...and sorting runs AFTER tracking-param stripping, so a
+        # tracking param never survives by being sorted to the front
+        ("https://example.com/a?ref=x&a=1", "https://example.com/a?a=1"),
     ]
     df = spark.createDataFrame(cases, "url string, expected string")
     for r in df.select("url", "expected",
