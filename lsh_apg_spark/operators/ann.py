@@ -390,7 +390,30 @@ def calibrate_lsh_knobs(
                             "calibrated": True,
                             "est_recall": round(rec, 4),
                             "est_cost": round(cost, 5)})
-    return best[1] if best is not None else fallback
+    kn = best[1] if best is not None else dict(fallback)
+    if kn["num_probes"] > 0:
+        # derive an adaptive probe budget from the same collision
+        # model (VERDICT r4 item 9): a query whose BASE band keys
+        # already collided with >= max(4k, 2x the modeled background
+        # base-candidate count) corpus points sits in the dense upper
+        # tail — there the base config has already surfaced the true
+        # neighbors with above-background probability, so skipping the
+        # probe expansion trades no recall for its cost. Conservative
+        # by construction: at 2x the background mean almost no query
+        # skips on a uniform corpus; on a clustered one exactly the
+        # hot-region queries (where probing is superfluous) do.
+        if metric == "cosine":
+            fp = far_p[None]
+        elif kn["w"] in far_p:
+            fp = far_p[kn["w"]]
+        else:  # fallback w_default is not on the calibrated W grid
+            fp = _pstable_collision_prob(far_d, kn["w"])
+        base_hit = float(np.mean(
+            _band_hit_prob(fp, kn["rows_per_band"], 0, kn["bands"])))
+        n_corpus = corpus.count()
+        kn["probe_budget"] = int(max(
+            4 * k, np.ceil(2.0 * base_hit * n_corpus)))
+    return kn
 
 
 def lsh_topk(
@@ -428,7 +451,11 @@ def lsh_topk(
     ``probe_budget``: queries whose base band keys already produce
     this many candidates skip the multi-probe expansion (the adaptive
     early-stop of the reference's LLCP-ordered probing,
-    src/e2lsh.cpp:573-699); None keeps probing unconditional.
+    src/e2lsh.cpp:573-699). None with explicit knobs keeps probing
+    unconditional; None on the self-calibrating path adopts the
+    budget calibrate_lsh_knobs derives from its own collision model
+    (present whenever the chosen config probes) — an explicit caller
+    budget always wins.
     `stats`, if given, receives n_candidates (the exact verifications
     performed — reference cost counter, src/alg.h:130) and
     n_bucket_overflow (corpus bucket rows dropped by the cap).
@@ -458,6 +485,11 @@ def lsh_topk(
         num_probes = kn["num_probes"]
         if metric != "cosine" and kn["calibrated"]:
             w = kn["w"]
+        if probe_budget is None:
+            # auto-wire the calibrated adaptive budget (only present
+            # when the chosen config probes); an explicit caller
+            # budget always wins
+            probe_budget = kn.get("probe_budget")
         if stats is not None:
             stats["calibration"] = kn
     elif bands is None or rows_per_band is None or num_probes is None:
@@ -511,6 +543,9 @@ def lsh_topk(
             .filter(F.col("_n") >= probe_budget)
             .select("query_id")
         )
+        if stats is not None:
+            over = over.localCheckpoint(eager=True)
+            stats["n_probe_skipped_queries"] = over.count()
         probe_cands = _pairs(
             qb.filter(F.col("_probe")).drop("_probe")
             .join(over, "query_id", "left_anti"))

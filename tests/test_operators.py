@@ -1103,6 +1103,43 @@ def test_lsh_auto_calibration_random_falls_back(spark):
     assert (kn["bands"], kn["rows_per_band"], kn["num_probes"]) == (8, 4, 2)
 
 
+def test_lsh_probe_budget_autowired(spark):
+    """VERDICT r4 item 9: the self-calibrating path derives an
+    adaptive probe budget from the calibrator's own collision model —
+    whenever the chosen config probes, ``probe_budget`` rides the knob
+    dict (>= the 4k floor), lsh_topk adopts it with no caller knob,
+    stats report how many queries skipped probing, and an explicit
+    caller budget always wins over the derived one."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    pdf = pd.DataFrame({
+        "vec_id": range(400),
+        "embedding": [[float(x) for x in rng.standard_normal(32)]
+                      for _ in range(400)],
+    })
+    e = spark.createDataFrame(pdf, "vec_id long, embedding array<float>") \
+        .localCheckpoint(eager=True)
+    # the uniform corpus takes the fallback config (8x4, 2 probes) —
+    # probes > 0, so the budget must be derived even on the fallback
+    kn = ann.calibrate_lsh_knobs(e, dim=32, k=5)
+    assert kn["num_probes"] > 0
+    assert kn["probe_budget"] >= 4 * 5, kn
+    q = e.filter(F.col("vec_id") < 10)
+    s_auto: dict = {}
+    ann.lsh_topk(q, e, k=5, dim=32, stats=s_auto)
+    assert s_auto["calibration"]["probe_budget"] == kn["probe_budget"]
+    assert "n_probe_skipped_queries" in s_auto, s_auto
+    # conservative by construction: on a UNIFORM corpus (no dense
+    # upper tail) the 2x-background budget skips (almost) nobody
+    assert s_auto["n_probe_skipped_queries"] <= 2, s_auto
+    # an explicit caller budget wins over the derived one: with an
+    # unreachably tiny budget every collided query skips probing
+    s_tiny: dict = {}
+    ann.lsh_topk(q, e, k=5, dim=32, probe_budget=1, stats=s_tiny)
+    assert s_tiny["n_probe_skipped_queries"] > \
+        s_auto["n_probe_skipped_queries"], (s_tiny, s_auto)
+    assert s_tiny["n_candidates"] <= s_auto["n_candidates"]
+
+
 def test_lsh_auto_calibration_l2(unnorm_embeddings):
     """The p-stable branch calibrates bucket width W too (the literal
     setW): on the unnormalized clustered fixture the chosen W must be
