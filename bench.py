@@ -170,7 +170,7 @@ def _eval_ann_corpus(spark, e, n_queries: int = 20, dim: int = 64,
             seed_mode="entry", stats=s),
     }
     for name, fn in (extra_variants or {}).items():
-        variants[name] = lambda s, _f=fn: _f(q, e, s)
+        variants[name] = lambda s, _f=fn: _f(q, e, s, edges)
     for name, fn in variants.items():
         stats: dict = {}
         t0 = time.monotonic()
@@ -242,14 +242,25 @@ def bench_ann_eval_clustered(spark, n_vecs: int = 20_000) -> dict:
     # plateau at recall ~0.91 no matter the cost
     from lsh_apg_spark.operators import ann
     extra = {
-        "lsh_calibrated": lambda q, e_, s: ann.lsh_topk(
+        "lsh_calibrated": lambda q, e_, s, _ed: ann.lsh_topk(
             q, e_, k=10, dim=64, bands=16, rows_per_band=8,
             num_probes=2, stats=s),
         # knobs=None -> calibrate_ivf_knobs picks (n_cells, nprobe)
         # from measured cell-rank recall (4k-corpus dry run: cost
         # 0.49 -> 0.03 at recall 0.94)
-        "ivf_calibrated": lambda q, e_, s: ann.ivf_topk(
+        "ivf_calibrated": lambda q, e_, s, _ed: ann.ivf_topk(
             q, e_, k=10, stats=s),
+        # the recall >= 0.99 operating point (VERDICT r4 item 2,
+        # swept in scripts/sweep_graph_spark.py after the r5 bucket-
+        # cap salting fix): ultra-selective seeds (4 bands x 14 rows,
+        # no probes — the graph walk does the recall work) + ef 64.
+        # Measured 20k/50q: recall 0.998 / ratio 1.00005 / cost
+        # 0.0200 — past the reference's committed row 0.9942/0.0264
+        # (dataset/ANN/LSH-G_div_result.csv:2) on both axes; same
+        # prebuilt T16 edge table as the `graph` row.
+        "graph_frontier": lambda q, e_, s, ed: ann.graph_topk(
+            q, e_, k=10, dim=64, edges=ed, bands=4, rows_per_band=14,
+            num_probes=0, ef=64, rounds=4, prune_margin=0.15, stats=s),
     }
     return _eval_ann_corpus(spark, e, n_queries=50, extra_variants=extra)
 
@@ -310,7 +321,13 @@ def run_level_inprocess(cpus: int, n_docs: int) -> dict:
     try:
         warm = _make_pages(spark, 0.002)
         _run_dedup(spark, warm)
-        fx = generate_pages(n_docs=n_docs, seed=42)
+        # chunked parallel generation ONLY above the sizes already in
+        # the ledger (<= 3.2M rows were generated single-corpus; the
+        # chunked corpus differs byte-wise, and a scaling PAIR must
+        # compare identical corpora) — at >= 4M single-core generation
+        # alone blew the 3600 s harness window twice (r4, ledgered)
+        gen_jobs = min(16, os.cpu_count() or 1) if n_docs >= 4_000_000 else 1
+        fx = generate_pages(n_docs=n_docs, seed=42, n_jobs=gen_jobs)
         pages = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA) \
             .repartition(parts).localCheckpoint(eager=True)
         n = pages.count()
@@ -321,7 +338,8 @@ def run_level_inprocess(cpus: int, n_docs: int) -> dict:
         wall = time.monotonic() - t0
         stages = {m["stage"]: m["wall_sec"] for m in stage_metrics
                   if "wall_sec" in m}
-        return {"cpus": cpus, "docs": n, "wall_sec": round(wall, 2),
+        return {"cpus": cpus, "docs": n, "gen_jobs": gen_jobs,
+                "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n / wall, 1), "rows_out": n_clusters,
                 "steal_sec": round((_steal_jiffies() - steal0) / 100.0, 1),
                 "stages": stages}

@@ -222,9 +222,15 @@ def _cap_bucket_members(cb: DataFrame, bucket_cap: int, seed: int,
     makes the candidate equi-join quadratic in that bucket. Members are
     kept in seeded-hash order so the surviving subset is stable under
     any partitioning; the bhash window shuffles on the same key the
-    candidate join shuffles on, so the exchange is shared, not added."""
+    candidate join shuffles on, so the exchange is shared, not added.
+    The order is salted with the bucket key (not id-only): an id-only
+    order is the SAME in every bucket, so a corpus point with a
+    globally high hash would be dropped from every overflowing bucket
+    at once and become invisible to LSH; bucket-salted orders are
+    independent per bucket."""
     w = Window.partitionBy("bhash").orderBy(
-        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        F.xxhash64(F.col("bhash"), F.col(id_col), F.lit(seed)),
+        F.col(id_col))
     return (
         cb.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= bucket_cap).drop("_r")
@@ -237,7 +243,8 @@ def _bucket_overflow(cb: DataFrame, bucket_cap: int, seed: int,
     the reference logs the same overflow as its probe-budget early
     exit)."""
     w = Window.partitionBy("bhash").orderBy(
-        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        F.xxhash64(F.col("bhash"), F.col(id_col), F.lit(seed)),
+        F.col(id_col))
     return (
         cb.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") > bucket_cap).count()
@@ -632,11 +639,19 @@ def build_knn_graph(
         b.groupBy("bhash").agg(F.collect_list("n_id").alias("ids"))
         .filter(F.size("ids") >= 2)
         # deterministic cap: order members by a seeded hash so the kept
-        # subset is stable under any partitioning, then slice
+        # subset is stable under any partitioning, then slice. The hash
+        # is salted with the BUCKET key — an id-only order is identical
+        # in every bucket, so in a regime where most buckets overflow
+        # (short band keys on a big corpus) the same globally-low-hash
+        # nodes would survive everywhere and the rest would appear in
+        # NO bucket, leaving them edgeless in the graph; per-bucket
+        # orders are independent, so every node survives in ~cap/size
+        # of its buckets
         .withColumn("ids", F.slice(
             F.array_sort(F.transform(
-                "ids", lambda x: F.struct(F.xxhash64(x, F.lit(seed)).alias("h"),
-                                          x.alias("id")))),
+                "ids", lambda x: F.struct(
+                    F.xxhash64(F.col("bhash"), x, F.lit(seed)).alias("h"),
+                    x.alias("id")))),
             1, bucket_cap))
         .withColumn("ids", F.transform("ids", lambda s: s["id"]))
     )
