@@ -146,3 +146,24 @@ def test_substring_pass(spark, fixture_bundle):
     missed = planted - found
     assert not missed, f"substring pairs missed: {sorted(missed)[:5]}"
     assert all(r["lcs_len"] >= CFG.min_substring_len for r in rows)
+
+
+def test_generate_pages_chunked_parallel_deterministic():
+    """Chunked parallel fixture generation (VERDICT r4 item 5): the
+    corpus is a function of (n_docs, seed, chunk_docs) — NOT of the
+    worker count — ids stay globally unique across chunks, and the
+    planted structure survives concatenation."""
+    a = generate_pages(n_docs=900, seed=42, n_jobs=2, chunk_docs=300)
+    b = generate_pages(n_docs=900, seed=42, n_jobs=4, chunk_docs=300)
+    assert a.pages.equals(b.pages)
+    assert len(a.pages) == 900
+    assert a.pages["url"].is_unique
+    # per-chunk planted structure: 3 chunks -> 3 hot groups' worth of
+    # urls, and every planted url exists in the corpus
+    urls = set(a.pages["url"])
+    assert a.hot_group and set(a.hot_group) <= urls
+    assert a.exact_groups and all(set(g) <= urls for g in a.exact_groups)
+    # n_jobs=1 at sub-chunk size is the byte-identical legacy path
+    c = generate_pages(n_docs=200, seed=42)
+    d = generate_pages(n_docs=200, seed=42, n_jobs=8, chunk_docs=300)
+    assert c.pages.equals(d.pages)
