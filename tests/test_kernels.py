@@ -179,3 +179,35 @@ def test_shingle_hashes_batch_matches_per_doc():
         for t, got in zip(texts, batch):
             ref = kernels.shingle_hashes(t or "", k, {})
             assert np.array_equal(ref, got), (k, t)
+
+
+def test_shingle_hashes_arrow_matches_per_doc():
+    """The Arrow-tokenized batch kernel (ascii_lower + split +
+    dictionary_encode in C, per-doc rolling combine) must be
+    ELEMENT-IDENTICAL to the frozen per-doc kernel — including the
+    documented Python-vs-Arrow casing divergences (dotted capital I,
+    Greek final sigma), which MUST route through the non-ASCII
+    fallback, and whitespace/control-char edge cases."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        "", None, "one", "one two", "one two three",
+        "a a a a a a", "uniéode tökens ünd mòre hère now",
+        " ".join(rng.choice(vocab, size=300)),
+        " ".join(rng.choice(vocab, size=7)),
+        "THE Quick BROWN fox " * 40,
+        "  leading and trailing whitespace  ",
+        "tab\tand\x1ccontrol\x1dsplits\x1e here \x1f too",
+        "İstanbul ΣΟΦΟΣ casing divergence ΤΕΛΟΣ",
+        "mixed ASCII and İ dotted",
+        "\x0b\x0c vertical form feeds \x0b",
+    ]
+    for k in (2, 3, 5):
+        cache: dict = {}
+        batch = kernels.shingle_hashes_arrow_batch(texts, k, cache)
+        assert len(batch) == len(texts)
+        for t, got in zip(texts, batch):
+            ref = kernels.shingle_hashes(t or "", k, {})
+            assert np.array_equal(ref, got), (k, t)
