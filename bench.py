@@ -325,11 +325,26 @@ def run_level_inprocess(cpus: int, n_docs: int) -> dict:
         # the ledger (<= 3.2M rows were generated single-corpus; the
         # chunked corpus differs byte-wise, and a scaling PAIR must
         # compare identical corpora) — at >= 4M single-core generation
-        # alone blew the 3600 s harness window twice (r4, ledgered)
+        # alone blew the 3600 s harness window twice (r4, ledgered).
+        # At that size the corpus ALSO bypasses createDataFrame: the
+        # workers write parquet chunks and Spark scans them — a 6.4M
+        # frame is ~20 GB of pandas->Arrow conversion on the driver
+        # heap, which is what killed the direct-frame attempts
+        # (BlockManager doPut OOM, r5 ledgered). Disk corpus is reused
+        # across levels, so generation is paid once per size.
         gen_jobs = min(16, os.cpu_count() or 1) if n_docs >= 4_000_000 else 1
-        fx = generate_pages(n_docs=n_docs, seed=42, n_jobs=gen_jobs)
-        pages = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA) \
-            .repartition(parts).localCheckpoint(eager=True)
+        if gen_jobs > 1:
+            from lsh_apg_spark.fixtures import write_pages_parquet
+            corpus_dir = write_pages_parquet(
+                n_docs, seed=42,
+                out_dir=f"/tmp/spark_graft_scaling_{n_docs}_s42",
+                n_jobs=gen_jobs)
+            pages = spark.read.parquet(corpus_dir) \
+                .repartition(parts).localCheckpoint(eager=True)
+        else:
+            fx = generate_pages(n_docs=n_docs, seed=42)
+            pages = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA) \
+                .repartition(parts).localCheckpoint(eager=True)
         n = pages.count()
         steal0 = _steal_jiffies()
         t0 = time.monotonic()
@@ -454,7 +469,9 @@ def run_parallelism_level(cpus: int, n_docs: int) -> dict:
     # scale the heap with the corpus, IDENTICALLY at both levels so the
     # comparison stays fair (a real cluster sizes executor heaps to the
     # data the same way)
-    if n_docs > 1_000_000:
+    if n_docs >= 4_000_000:
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    elif n_docs > 1_000_000:
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "40g")
     proc = subprocess.run(
         cmd,

@@ -28,6 +28,7 @@ byte-identical.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
 from dataclasses import dataclass, field
 
@@ -78,6 +79,53 @@ def _gen_chunk(args: tuple) -> "PagesFixture":
     idx, chunk_n, seed, chunk_docs = args
     return generate_pages(n_docs=chunk_n, seed=seed + 1_000_003 * idx,
                           id_offset=idx * chunk_docs)
+
+
+def _write_chunk(args: tuple) -> str:
+    """Worker for write_pages_parquet: generate one chunk and write it
+    straight to its own parquet file — the corpus never aggregates in
+    any single process."""
+    idx, chunk_n, seed, chunk_docs, out_dir = args
+    fx = generate_pages(n_docs=chunk_n, seed=seed + 1_000_003 * idx,
+                        id_offset=idx * chunk_docs)
+    path = f"{out_dir}/chunk_{idx:05d}.parquet"
+    # pandas defaults to TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects (PARQUET_TYPE_ILLEGAL) — coerce to micros, the
+    # engine's native timestamp precision
+    fx.pages.to_parquet(path, index=False, coerce_timestamps="us",
+                        allow_truncated_timestamps=True)
+    return path
+
+
+def write_pages_parquet(n_docs: int, seed: int, out_dir: str,
+                        n_jobs: int = 16,
+                        chunk_docs: int = 200_000) -> str:
+    """Generate the synthetic corpus as a parquet DIRECTORY, one file
+    per chunk, written by parallel workers — for corpora too big to
+    ship through createDataFrame (a 6.4M-doc frame is ~20 GB of
+    pandas->Arrow conversion on the driver heap, which is what killed
+    the r4/r5 scaling-cell attempts). Same chunk layout and seeds as
+    generate_pages(n_jobs>1), so the corpus is deterministic in
+    (n_docs, seed, chunk_docs). Idempotent via a _DONE marker; callers
+    spark.read.parquet(out_dir)."""
+    import multiprocessing as mp
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    tasks = []
+    off = idx = 0
+    while off < n_docs:
+        cn = min(chunk_docs, n_docs - off)
+        tasks.append((idx, cn, seed, chunk_docs, out_dir))
+        off += cn
+        idx += 1
+    with mp.get_context("spawn").Pool(min(n_jobs, len(tasks))) as pool:
+        pool.map(_write_chunk, tasks)
+    with open(done, "w") as f:
+        f.write(f"{n_docs} {seed} {chunk_docs}\n")
+    return out_dir
 
 
 def generate_pages(n_docs: int = 400, seed: int = 42,

@@ -167,3 +167,20 @@ def test_generate_pages_chunked_parallel_deterministic():
     c = generate_pages(n_docs=200, seed=42)
     d = generate_pages(n_docs=200, seed=42, n_jobs=8, chunk_docs=300)
     assert c.pages.equals(d.pages)
+
+
+def test_write_pages_parquet_matches_inmemory(spark, tmp_path):
+    """The disk-chunked corpus writer (used by the scaling harness at
+    sizes where createDataFrame's driver-side Arrow conversion OOMs)
+    produces row-identical data to the in-memory chunked generator,
+    through a real Spark parquet scan (timestamp precision included)."""
+    from lsh_apg_spark.fixtures import write_pages_parquet
+
+    out = str(tmp_path / "pages_pq")
+    write_pages_parquet(900, 42, out, n_jobs=3, chunk_docs=300)
+    df = spark.read.parquet(out)
+    fx = generate_pages(n_docs=900, seed=42, n_jobs=2, chunk_docs=300)
+    mem = spark.createDataFrame(fx.pages, schema=PAGES_SCHEMA)
+    assert df.count() == 900
+    assert df.exceptAll(mem).count() == 0
+    assert mem.exceptAll(df).count() == 0
