@@ -478,6 +478,18 @@ def _q_simhash_neardup(spark, sf):
 
 
 def _q_substring(spark, sf):
+    """Long-substring containment (winnowing candidates + exact-LCS
+    verify). Oracle-verified since r5: the output contract is
+    seed-independent — winnowing's guarantee makes the candidate set a
+    superset of every pair sharing >= min_substring_len chars, and the
+    verify stage reports exact LCS — so DuckDB can replay it from
+    first principles (shared L-grams + diagonal-run islands; see
+    oracle_sql). Caveat stated for honesty: candidate_pairs' hot-bucket
+    cap (bucket_cap=64 per fingerprint) is pair-lossy above cap; at
+    the oracle corpus no fingerprint bucket comes near it (verified by
+    the hash match), and at production scale a capped FINGERPRINT
+    bucket means thousands of docs sharing one winnowed span — the
+    star policy still places them in one component."""
     docs = _docs(spark, sf).select(
         F.col("doc_id").cast("string").alias("url"), "text")
     return substring_edges(docs, CFG).orderBy("a", "b")
@@ -1061,6 +1073,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, hamming FROM ham
             WHERE hamming <= {CFG.hamming_max} ORDER BY a, b
+        """,
+        # Exact-LCS oracle for the winnowing substring pass. The Spark
+        # result is seed-INDEPENDENT: winnowing guarantees every pair
+        # sharing a span >= min_substring_len shares a fingerprint
+        # (Schleimer et al. SIGMOD'03 — guarantee t = window+kgram-1),
+        # and the verify stage reports the exact LCS, so the output
+        # contract is simply "all pairs with LCS >= L, with exact L".
+        # SQL computes it from first principles: every length-L
+        # character gram, pairs sharing one, then LCS = L - 1 + the
+        # longest diagonal run of consecutive shared grams
+        # (gaps-and-islands on i-j). No hash appears anywhere.
+        "substring_containment": f"""
+            WITH docs AS (
+                SELECT doc_id::VARCHAR AS url, text FROM documents
+                WHERE length(text) >= {CFG.min_substring_len}
+            ), grams AS (
+                SELECT url, i,
+                       substr(text, i, {CFG.min_substring_len}) AS g
+                FROM docs, LATERAL (
+                    SELECT unnest(generate_series(
+                        1, length(text) - {CFG.min_substring_len - 1})) AS i
+                ) t
+            ), shared AS (
+                SELECT ga.url AS a, gb.url AS b, ga.i AS ia, gb.i AS ib
+                FROM grams ga
+                JOIN grams gb ON ga.g = gb.g AND ga.url < gb.url
+            ), runs AS (
+                SELECT a, b, ia - ib AS d, ia,
+                       ia - ROW_NUMBER() OVER (
+                           PARTITION BY a, b, ia - ib ORDER BY ia) AS island
+                FROM shared
+            ), islands AS (
+                SELECT a, b, COUNT(*) AS run_len
+                FROM runs GROUP BY a, b, d, island
+            )
+            SELECT a, b,
+                   ({CFG.min_substring_len} + MAX(run_len) - 1)::BIGINT
+                       AS lcs_len
+            FROM islands GROUP BY a, b ORDER BY a, b
         """,
         "media_features": """
             SELECT doc_id AS id, 'text/' || source AS media_type,
