@@ -1037,8 +1037,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": f"""
             WITH t AS (
                 SELECT doc_id::VARCHAR AS id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+')
-                           AS toks
+                       list_filter(
+                           regexp_split_to_array(
+                               trim(lower(coalesce(text, ''))), '\\s+'),
+                           tok -> tok <> '') AS toks
                 FROM documents
             ), shs AS (
                 SELECT id, unnest(list_distinct(
@@ -1048,7 +1050,10 @@ def oracle_sql() -> dict[str, str]:
                              i -> array_to_string(
                                  toks[i:i + {CFG.shingle_size} - 1],
                                  chr(31)))
-                         ELSE [array_to_string(toks, chr(31))]
+                         -- coalesce: array_to_string([]) is NULL in
+                         -- DuckDB but concat_ws of [] is '' in Spark
+                         ELSE [coalesce(array_to_string(toks, chr(31)),
+                                        '')]
                     END)) AS s
                 FROM t
             ), hx AS (

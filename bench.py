@@ -459,6 +459,18 @@ def run_parallelism_level(cpus: int, n_docs: int) -> dict:
     """
     import subprocess
 
+    # pre-generate big corpora HERE, unpinned, before the measured
+    # subprocess launches: generation inside the pinned child would
+    # squeeze 16 spawn workers onto `cpus` cores AND burn the child's
+    # 3600 s window (review finding — scripts/run_cell_64.py dodged
+    # this manually; now the generic path does too). Idempotent via
+    # the corpus dir's validated _DONE marker.
+    if n_docs >= 4_000_000:
+        from lsh_apg_spark.fixtures import write_pages_parquet
+        write_pages_parquet(n_docs, seed=42,
+                            out_dir=f"/tmp/spark_graft_scaling_{n_docs}_s42",
+                            n_jobs=min(16, os.cpu_count() or 1))
+
     cmd = [sys.executable, os.path.abspath(__file__),
            "--level", str(cpus), "--docs", str(n_docs)]
     if os.path.exists("/usr/bin/taskset"):

@@ -111,7 +111,17 @@ def write_pages_parquet(n_docs: int, seed: int, out_dir: str,
     import multiprocessing as mp
 
     done = os.path.join(out_dir, "_DONE")
+    params = f"{n_docs} {seed} {chunk_docs}"
     if os.path.exists(done):
+        with open(done) as f:
+            found = f.read().strip()
+        if found != params:
+            # a dir generated under different params must never be
+            # silently reused — a scaling pair would then compare
+            # byte-different corpora with no error (review finding)
+            raise ValueError(
+                f"corpus dir {out_dir} holds params ({found}), "
+                f"requested ({params}) — remove the dir or pick another")
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     tasks = []
@@ -124,7 +134,7 @@ def write_pages_parquet(n_docs: int, seed: int, out_dir: str,
     with mp.get_context("spawn").Pool(min(n_jobs, len(tasks))) as pool:
         pool.map(_write_chunk, tasks)
     with open(done, "w") as f:
-        f.write(f"{n_docs} {seed} {chunk_docs}\n")
+        f.write(params + "\n")
     return out_dir
 
 

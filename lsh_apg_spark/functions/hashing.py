@@ -97,11 +97,19 @@ def with_simhash_md5(df: "DataFrame", text_col: str = "text", k: int = 3,
     Frozen definition (a recall-parity config surface — change only
     with a re-freeze):
 
-    1. tokens = whitespace-split of trim(lower(text)); shingles = the
-       DISTINCT word k-shingles joined with chr(31) (documents shorter
-       than k tokens degrade to one whole-text shingle, so every doc
-       has a non-empty shingle set — same degrade rule as the MinHash
-       kernel, functions/kernels.py:shingle_hashes);
+    1. tokens = the NON-EMPTY pieces of a whitespace-split of
+       trim(lower(coalesce(text, ''))) — dropping empty pieces aligns
+       Java split semantics (limit -1 keeps leading/trailing empties)
+       with Python str.split and DuckDB, so the oracle and the pure-
+       Python twin are bit-for-bit on any text whose whitespace is
+       ASCII [ \\t\\n\\r\\f] (the residual engine divergences are \\x0B,
+       which Java \\s matches but RE2 \\s does not, and non-ASCII case
+       mapping — the fixture generator emits neither; same ASCII-scope
+       rule as the Arrow tokenizer's string_is_ascii gate); shingles =
+       the DISTINCT word k-shingles joined with chr(31) (documents
+       shorter than k tokens degrade to one whole-text shingle, so
+       every doc has a non-empty shingle set — same degrade rule as
+       the MinHash kernel, functions/kernels.py:shingle_hashes);
     2. shingle hash = the first 16 hex chars of md5(shingle) = the top
        64 bits of the digest, read big-endian;
     3. bit j (j=0..63, MSB first) of the SimHash is the majority vote
@@ -114,8 +122,10 @@ def with_simhash_md5(df: "DataFrame", text_col: str = "text", k: int = 3,
     lambda-variable collision; pinned by
     tests/test_operators.py::test_simhash_md5_matches_python).
     """
-    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
-                   r"\s+")
+    toks = F.array_remove(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+"),
+        "")
     staged = df.withColumn("_sh_toks", toks)
     n = F.size(F.col("_sh_toks"))
     whole = F.array(F.concat_ws("\x1f", F.col("_sh_toks")))

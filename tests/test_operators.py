@@ -305,7 +305,11 @@ def _simhash_md5_py(text: str, k: int) -> int:
     """Pure-Python twin of functions/hashing.py:with_simhash_md5 —
     pins the JVM higher-order-function pipeline bit-for-bit (guards
     the staged-lambda rules; see the nested-lambda pitfall note in the
-    operator docstring)."""
+    operator docstring). Bit-for-bit holds because BOTH sides drop
+    empty split pieces (Java split keeps leading/trailing empties with
+    limit -1; the operator array_removes them, so Python .split()'s
+    drop-all-empties matches) — exercised below by the leading/
+    trailing-\\n/\\t texts."""
     import hashlib
     toks = (text or "").strip().lower().split()
     if len(toks) >= k:
@@ -337,6 +341,12 @@ def test_simhash_md5_matches_python(spark):
         "repeated words",
         "a b c d e f g h i j k l m n o p q r s t u v w x y z",
         None,
+        # leading/trailing non-space whitespace: Java split(limit=-1)
+        # would keep empty pieces that Python .split() drops — the
+        # operator's array_remove makes the two agree (review finding)
+        "trailing newline text here\n",
+        "\n\tleading whitespace text",
+        "both sides\t\n",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
