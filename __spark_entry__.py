@@ -625,10 +625,14 @@ def _q_ann_ivf(spark, sf):
 
 
 def _q_ann_diverse(spark, sf):
-    """RNG-diversified top-k (rows-only: greedy selection is not
-    SQL-expressible; semantics gated by tests/test_operators.py).
+    """RNG-diversified top-k (A4 chooseNN_div, src/divGraph.h:576-628).
     Pool = the bucketed LSH scale path, not the O(N*Q) brute-force
-    oracle (VERDICT r2 item 5)."""
+    oracle (VERDICT r2 item 5). Oracle-verified since r5: the greedy
+    scan is sequential but BOUNDED (one decision per pool rank), so it
+    replays as a recursive CTE over the proven LSH pool replay
+    (_ann_diverse_oracle_sql), with an ambiguity guard proving every
+    admission decision has a >= 1e-9 float margin; semantics also
+    gated by tests/test_operators.py."""
     e = _emb(spark, sf)
     queries = e.filter(F.col("vec_id") < 20)
     return ann.diversified_topk(queries, e, k=5, pool="lsh", dim=64) \
@@ -969,7 +973,8 @@ def _lsh_band_key_arms(bands: int, r: int, probes: int,
 
 
 def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
-                        k: int, bucket_cap: int, w: float = 8.0) -> str:
+                        k: int, bucket_cap: int, w: float = 8.0,
+                        as_pool_cte: bool = False) -> str:
     """First-principles DuckDB replay of lsh_topk with explicit knobs
     (operators/ann.py): seeded projection planes read from the parquet
     fixture (ensure_ann_plane_fixtures — IEEE-exact doubles, the same
@@ -1000,8 +1005,7 @@ def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
         score = ("-list_sum(list_transform(list_zip(qe.v, ce.v), "
                  "x -> (x[1] - x[2]) * (x[1] - x[2])))")
     arms = _lsh_band_key_arms(bands, r, probes)
-    return f"""
-            WITH planes AS ({planes_cte}),
+    core = f"""planes AS ({planes_cte}),
             e AS ({e_cte}),
             bits AS (
                 SELECT e.vec_id, {bits_expr} AS bb
@@ -1031,11 +1035,113 @@ def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
                                           ORDER BY s DESC, neighbor_id)
                            AS rank
                 FROM scored
-            )
+            )"""
+    if as_pool_cte:
+        return core
+    return f"""
+            WITH {core}
             SELECT query_id, neighbor_id, round(s, 4) AS score, rank
             FROM ranked CROSS JOIN guard
             WHERE rank <= {k} AND g = 0
             ORDER BY query_id, rank
+        """
+
+
+def _ann_diverse_oracle_sql(k: int, pool_factor: int, bands: int, r: int,
+                            probes: int, bucket_cap: int) -> str:
+    """DuckDB replay of diversified_topk(pool="lsh") — the A4 RNG rule
+    (chooseNN_div, src/divGraph.h:576-628) made oracle-verifiable.
+
+    Pool = the already-proven lsh_topk replay (_ann_lsh_oracle_sql,
+    as_pool_cte) at k*pool_factor. The greedy scan — keep a candidate
+    iff no already-kept neighbor is closer to it than the query is —
+    is sequential by construction (each admission depends on the
+    prior kept set), so it replays as a bounded recursive CTE: one
+    step per pool rank, carrying the kept ids and their normalized
+    vectors; the admission test is a pure lambda
+    (list_min over 1 - dot(kept_vec, cand_vec)), no correlated state.
+
+    Float parity: the Spark side decides with float64 numpy dots over
+    unit-normalized vectors against qdist = 1 - score (score already
+    4dp-rounded by lsh_topk); DuckDB recomputes the same doubles with
+    list_dot_product. Summation order can differ at ~1e-16, so an
+    ambiguity guard raises error() if ANY pool-internal distance sits
+    within 1e-9 of its query's admission threshold — the replay is
+    only valid when every decision has a real margin, and the guard
+    proves it per run (same contract as the bucket_cap guard)."""
+    pool_k = k * pool_factor
+    core = _ann_lsh_oracle_sql("cosine", bands=bands, r=r, probes=probes,
+                               k=pool_k, bucket_cap=bucket_cap,
+                               as_pool_cte=True)
+    return f"""
+            WITH RECURSIVE {core},
+            pool AS (
+                SELECT query_id, neighbor_id, rank,
+                       round(s, 4) AS score,
+                       1.0 - round(s, 4) AS qdist
+                FROM ranked WHERE rank <= {pool_k}
+            ),
+            nvn AS (
+                SELECT vec_id,
+                       list_transform(v, x -> x / greatest(
+                           sqrt(list_dot_product(v, v)), 1e-12)) AS nvec
+                FROM e
+            ),
+            amb AS (
+                SELECT CASE WHEN count(*) > 0
+                            THEN error('oracle invalid: an RNG admission '
+                                       'decision sits within 1e-9 of its '
+                                       'threshold')
+                            ELSE 0 END AS a
+                FROM pool p1
+                JOIN pool p2 ON p2.query_id = p1.query_id
+                            AND p2.neighbor_id <> p1.neighbor_id
+                JOIN nvn na ON na.vec_id = p1.neighbor_id
+                JOIN nvn nb ON nb.vec_id = p2.neighbor_id
+                WHERE abs((1.0 - list_dot_product(na.nvec, nb.nvec))
+                          - p1.qdist) < 1e-9
+            ),
+            sel AS (
+                SELECT p.query_id, p.rank, [p.neighbor_id] AS kept,
+                       [n.nvec] AS kvecs
+                FROM pool p JOIN nvn n ON n.vec_id = p.neighbor_id
+                WHERE p.rank = 1
+              UNION ALL
+                SELECT s.query_id, p.rank,
+                       CASE WHEN len(s.kept) >= {k} OR
+                                 list_min(list_transform(s.kvecs,
+                                     kv -> 1.0 - list_dot_product(kv, n.nvec)
+                                 )) < p.qdist
+                            THEN s.kept
+                            ELSE list_append(s.kept, p.neighbor_id) END,
+                       CASE WHEN len(s.kept) >= {k} OR
+                                 list_min(list_transform(s.kvecs,
+                                     kv -> 1.0 - list_dot_product(kv, n.nvec)
+                                 )) < p.qdist
+                            THEN s.kvecs
+                            ELSE list_append(s.kvecs, n.nvec) END
+                FROM sel s
+                JOIN pool p ON p.query_id = s.query_id
+                           AND p.rank = s.rank + 1
+                JOIN nvn n ON n.vec_id = p.neighbor_id
+            ),
+            fin AS (
+                SELECT query_id, kept,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rank DESC) AS rr
+                FROM sel
+            ),
+            outp AS (
+                SELECT query_id, unnest(kept) AS neighbor_id,
+                       unnest(range(1, len(kept) + 1)) AS rank
+                FROM fin WHERE rr = 1
+            )
+            SELECT o.query_id, o.neighbor_id, p.score, o.rank
+            FROM outp o
+            JOIN pool p USING (query_id, neighbor_id)
+            CROSS JOIN guard CROSS JOIN amb
+            WHERE guard.g = 0 AND amb.a = 0
+            ORDER BY o.query_id, o.rank
         """
 
 
@@ -1612,6 +1718,12 @@ def oracle_sql() -> dict[str, str]:
             "cosine", bands=8, r=4, probes=2, k=5, bucket_cap=512),
         "ann_topk_lsh_l2": _ann_lsh_oracle_sql(
             "l2_sq", bands=8, r=4, probes=1, k=5, bucket_cap=512, w=8.0),
+        # oracle-verified since r5: the LSH pool replay composed with a
+        # bounded recursive-CTE replay of the greedy RNG admission scan
+        # (each step's decision is a pure lambda over the carried kept
+        # set); knobs mirror _q_ann_diverse -> diversified_topk exactly
+        "ann_topk_diverse": _ann_diverse_oracle_sql(
+            k=5, pool_factor=3, bands=8, r=4, probes=2, bucket_cap=512),
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n_events,
