@@ -614,10 +614,14 @@ def _q_ann_graph_incr(spark, sf):
 
 
 def _q_ann_ivf(spark, sf):
-    """IVF-bucketed ANN (rows-only: learned quantizer, seeded).
-    Explicit knobs: this entry is also a timed bench row, so it must
-    not pay the one-shot auto-calibration probe on every invocation
-    (ann.calibrate_ivf_knobs has its own test + clustered bench row)."""
+    """IVF-bucketed ANN. Explicit knobs: this entry is also a timed
+    bench row, so it must not pay the one-shot auto-calibration probe
+    on every invocation (ann.calibrate_ivf_knobs has its own test +
+    clustered bench row). Oracle-verified since r5: the quantizer init
+    is an md5-ordered seeded draw (engine-common hash), so DuckDB
+    replays the whole chain — init, unrolled Lloyd rounds, assignment,
+    probe, exact re-rank — from first principles with margin guards on
+    every discrete decision (_ann_ivf_oracle_sql)."""
     e = _emb(spark, sf)
     queries = e.filter(F.col("vec_id") < 20)
     return ann.ivf_topk(queries, e, k=5, n_cells=32, nprobe=16) \
@@ -1142,6 +1146,128 @@ def _ann_diverse_oracle_sql(k: int, pool_factor: int, bands: int, r: int,
             CROSS JOIN guard CROSS JOIN amb
             WHERE guard.g = 0 AND amb.a = 0
             ORDER BY o.query_id, o.rank
+        """
+
+
+def _ann_ivf_oracle_sql(k: int, n_cells: int, nprobe: int, iters: int,
+                        seed: int, dim: int = 64) -> str:
+    """First-principles DuckDB replay of ivf_topk with explicit knobs
+    (operators/ann.py): the seeded init draw (md5-ordered — the
+    engine-common hash train_ivf_centroids re-froze onto so this replay
+    exists), `iters` unrolled Lloyd rounds (assignment = argmax cosine
+    vs the round's centroids, update = per-cell per-dim mean, empty
+    cells keep their previous centroid), final cell assignment, query
+    probe of the nprobe nearest cells, exact cosine re-rank.
+
+    Float parity: both engines do the same float64 math but sum in
+    different orders (~1e-16 drift in means/sims), so every decision
+    the replay takes is guarded: each round's assignment and the final
+    one raise error() if ANY vector sits within 1e-9 of its top-2 cell
+    boundary, and the query probe raises if the nprobe-th/nprobe+1-th
+    cell margin is that thin. The oracle is valid only when every
+    discrete choice has a real margin — and proves it per run."""
+    rounds = []
+    # cn{r} = unit-normalized centroids of c{r} (the UDF normalizes
+    # centroids WITHOUT a floor — a zero centroid cannot arise from a
+    # mean of unit-scale embeddings); en has the 1e-12 vector floor
+    for r in range(iters + 1):
+        is_final = r == iters
+        who = "final" if is_final else f"round-{r + 1}"
+        rounds.append(f"""
+            cn{r} AS (
+                SELECT cell, list_transform(cv, x ->
+                           x / sqrt(list_dot_product(cv, cv))) AS ncv
+                FROM c{r}
+            ), sims{r} AS (
+                SELECT en.vec_id, c.cell,
+                       list_dot_product(en.nv, c.ncv) AS s
+                FROM en CROSS JOIN cn{r} c
+            ), rk{r} AS (
+                SELECT vec_id, cell, s,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell) AS rk
+                FROM sims{r}
+            ), g{r} AS (
+                SELECT CASE WHEN min(d) < 1e-9
+                            THEN error('oracle invalid: IVF {who} '
+                                       'assignment within 1e-9 of a '
+                                       'cell boundary')
+                            ELSE 0 END AS g
+                FROM (SELECT vec_id,
+                             max(CASE WHEN rk = 1 THEN s END)
+                             - max(CASE WHEN rk = 2 THEN s END) AS d
+                      FROM rk{r} WHERE rk <= 2 GROUP BY vec_id)
+            ), a{r} AS (
+                SELECT vec_id, cell FROM rk{r} WHERE rk = 1
+            )""")
+        if not is_final:
+            rounds.append(f"""
+            m{r} AS (
+                SELECT a.cell, p.pos, avg(e.v[p.pos]) AS m
+                FROM a{r} a JOIN e USING (vec_id)
+                CROSS JOIN range(1, {dim + 1}) AS p(pos)
+                GROUP BY a.cell, p.pos
+            ), c{r + 1} AS (
+                SELECT i.cell,
+                       list(coalesce(m.m, i.cv[p.pos])
+                            ORDER BY p.pos) AS cv
+                FROM c{r} i CROSS JOIN range(1, {dim + 1}) AS p(pos)
+                LEFT JOIN m{r} m ON m.cell = i.cell AND m.pos = p.pos
+                GROUP BY i.cell
+            )""")
+    rounds_sql = ",".join(rounds)
+    return f"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), en AS (
+                SELECT vec_id, list_transform(v, x -> x / greatest(
+                           sqrt(list_dot_product(v, v)), 1e-12)) AS nv
+                FROM e
+            ), c0 AS (
+                SELECT row_number() OVER (ORDER BY h) - 1 AS cell, cv
+                FROM (SELECT e.v AS cv,
+                             md5('ivf:{seed}:' || vec_id::VARCHAR) AS h
+                      FROM e ORDER BY h LIMIT {n_cells})
+            ),{rounds_sql},
+            qprobe AS (
+                SELECT vec_id AS query_id, cell, rk
+                FROM rk{iters} WHERE vec_id < 20 AND rk <= {nprobe}
+            ), gq AS (
+                SELECT CASE WHEN min(d) < 1e-9
+                            THEN error('oracle invalid: IVF query probe '
+                                       'within 1e-9 of the nprobe '
+                                       'boundary')
+                            ELSE 0 END AS g
+                FROM (SELECT vec_id,
+                             max(CASE WHEN rk = {nprobe} THEN s END)
+                             - max(CASE WHEN rk = {nprobe + 1} THEN s END)
+                                 AS d
+                      FROM rk{iters}
+                      WHERE vec_id < 20 AND rk IN ({nprobe}, {nprobe + 1})
+                      GROUP BY vec_id)
+            ), cand AS (
+                SELECT q.query_id, a.vec_id AS neighbor_id
+                FROM qprobe q JOIN a{iters} a USING (cell)
+                WHERE q.query_id <> a.vec_id
+            ), scored AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                       list_cosine_similarity(qe.v, ce.v) AS s
+                FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                          JOIN e ce ON ce.vec_id = cand.neighbor_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+            FROM ranked
+            CROSS JOIN {' CROSS JOIN '.join(f'g{r}' for r in range(iters + 1))}
+            CROSS JOIN gq
+            WHERE rank <= {k}
+              AND {' + '.join(f'g{r}.g' for r in range(iters + 1))} + gq.g = 0
+            ORDER BY query_id, rank
         """
 
 
@@ -1724,6 +1850,12 @@ def oracle_sql() -> dict[str, str]:
         # set); knobs mirror _q_ann_diverse -> diversified_topk exactly
         "ann_topk_diverse": _ann_diverse_oracle_sql(
             k=5, pool_factor=3, bands=8, r=4, probes=2, bucket_cap=512),
+        # oracle-verified since r5: the quantizer init re-froze onto
+        # md5 (engine-common, like simhash), so the full train/assign/
+        # probe/re-rank chain replays from first principles with margin
+        # guards on every discrete decision; knobs mirror _q_ann_ivf
+        "ann_topk_ivf": _ann_ivf_oracle_sql(
+            k=5, n_cells=32, nprobe=16, iters=2, seed=42),
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n_events,

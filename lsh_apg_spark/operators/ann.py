@@ -1184,13 +1184,18 @@ def train_ivf_centroids(
     metric: str = "cosine",
 ) -> np.ndarray:
     """Deterministic coarse quantizer: init = the n_cells vectors with
-    the smallest xxhash64(id, seed) (a seeded sample, order-independent),
-    then `iters` Lloyd rounds where the assignment runs distributed (UDF
-    batch matmul) and the per-cell means reduce via posexplode/groupBy —
-    only (n_cells x dim) numbers ever reach the driver."""
+    the smallest md5("ivf:<seed>:<id>") (a seeded sample,
+    order-independent; md5 rather than xxhash64 so the draw is
+    engine-common — the oracle replays it in DuckDB, the same re-freeze
+    pattern VERDICT r4 sanctioned for simhash), then `iters` Lloyd
+    rounds where the assignment runs distributed (UDF batch matmul) and
+    the per-cell means reduce via posexplode/groupBy — only
+    (n_cells x dim) numbers ever reach the driver."""
     init = (
         corpus.select(F.col(vec_col).alias("v"),
-                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+                      F.md5(F.concat_ws(
+                          ":", F.lit("ivf"), F.lit(str(seed)),
+                          F.col(id_col).cast("string"))).alias("_h"))
         .orderBy("_h").limit(n_cells).collect()
     )
     centroids = np.array([r["v"] for r in init], dtype=np.float64)
