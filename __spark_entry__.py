@@ -676,6 +676,28 @@ def _q_ann_eval(spark, sf):
         .orderBy("variant")
 
 
+def _q_ann_eval_lsh(spark, sf):
+    """A8 query-batch metrics (Performance::update, src/Query.cpp:9-67)
+    for the LSH variant, FULLY oracle-verified: recall, ratio (with the
+    zero-distance clamp) and cost are plain aggregates over two paths
+    that both replay in DuckDB from first principles — the seeded-plane
+    LSH chain (_ann_lsh_oracle_sql) and the brute-force oracle. The
+    graph variant stays in ann_eval_metrics (rows-only: hash-seeded
+    index build has no SQL twin)."""
+    e = _emb(spark, sf)
+    queries_df = e.filter(F.col("vec_id") < 20)
+    stats: dict = {}
+    approx = ann.lsh_topk(queries_df, e, k=10, dim=64, bands=8,
+                          rows_per_band=4, num_probes=2, stats=stats)
+    exact = ann.bruteforce_topk(queries_df, e, k=10)
+    ev = ann.ann_eval(approx, exact,
+                      n_candidates=stats.get("n_candidates"),
+                      corpus_size=_corpus_n(spark, sf))
+    return spark.createDataFrame(
+        [("lsh", ev["recall"], ev["ratio"], ev["cost"])],
+        "variant string, recall double, ratio double, cost double")
+
+
 def _q_media_features(spark, sf):
     """Multimodal plumbing (mapInPandas over BINARY payloads): the
     deterministic fake-decode runs for real; only the SQL-checkable
@@ -755,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_diverse": _q_ann_diverse,
         "ann_eval_metrics": _q_ann_eval,
+        "ann_eval_lsh": _q_ann_eval_lsh,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -1146,6 +1169,64 @@ def _ann_diverse_oracle_sql(k: int, pool_factor: int, bands: int, r: int,
             CROSS JOIN guard CROSS JOIN amb
             WHERE guard.g = 0 AND amb.a = 0
             ORDER BY o.query_id, o.rank
+        """
+
+
+def _ann_eval_lsh_oracle_sql(k: int, bands: int, r: int, probes: int,
+                             bucket_cap: int) -> str:
+    """DuckDB replay of _q_ann_eval_lsh — the A8 metrics row computed
+    from the two replayable paths: approx = the seeded-plane LSH chain
+    (_ann_lsh_oracle_sql pool mode: planes/bits/keys/cand/scored/
+    ranked + the bucket_cap guard), exact = the brute-force top-k.
+    recall = |approx ∩ exact| / |exact| (integer counts — engine-exact);
+    ratio = mean over rank-aligned rows of approx_dist/exact_dist with
+    the zero-distance clamp at the 4dp score granularity (same IEEE
+    double expression both engines evaluate on identical rounded
+    scores); cost = n_candidates / (n_queries * corpus_size), all three
+    integers the replay derives from the same CTEs the Spark stats
+    out-param counts."""
+    core = _ann_lsh_oracle_sql("cosine", bands=bands, r=r, probes=probes,
+                               k=k, bucket_cap=bucket_cap,
+                               as_pool_cte=True)
+    return f"""
+            WITH {core},
+            approx AS (
+                SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+                FROM ranked WHERE rank <= {k}
+            ),
+            exacts AS (
+                SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           list_cosine_similarity(q.v, c.v) AS s,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.v, c.v)
+                                            DESC, c.vec_id) AS rank
+                    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                    WHERE q.vec_id < 20
+                ) WHERE rank <= {k}
+            ),
+            rec AS (
+                SELECT (SELECT count(*) FROM approx a
+                        JOIN exacts x USING (query_id, neighbor_id))::DOUBLE
+                       / (SELECT count(*) FROM exacts) AS recall
+            ),
+            rat AS (
+                SELECT avg(CASE WHEN 1.0 - x.score <= 1e-4 THEN 1.0
+                                ELSE (1.0 - a.score) / (1.0 - x.score)
+                           END) AS ratio
+                FROM approx a JOIN exacts x USING (query_id, rank)
+            ),
+            cst AS (
+                SELECT (SELECT count(*) FROM cand)::DOUBLE
+                       / ((SELECT count(DISTINCT query_id) FROM exacts)
+                          * (SELECT count(*) FROM e)) AS cost
+            )
+            SELECT 'lsh' AS variant, round(recall, 4) AS recall,
+                   round(ratio, 5) AS ratio, round(cost, 5) AS cost
+            FROM rec, rat, cst CROSS JOIN guard
+            WHERE g = 0
         """
 
 
@@ -1856,6 +1937,11 @@ def oracle_sql() -> dict[str, str]:
         # guards on every discrete decision; knobs mirror _q_ann_ivf
         "ann_topk_ivf": _ann_ivf_oracle_sql(
             k=5, n_cells=32, nprobe=16, iters=2, seed=42),
+        # oracle-verified since r5: the A8 metrics row for the LSH
+        # variant — recall/ratio/cost as SQL aggregates over the two
+        # replayable paths; knobs mirror _q_ann_eval_lsh exactly
+        "ann_eval_lsh": _ann_eval_lsh_oracle_sql(
+            k=10, bands=8, r=4, probes=2, bucket_cap=512),
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n_events,
