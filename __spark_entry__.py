@@ -676,6 +676,22 @@ def _q_ann_eval(spark, sf):
         .orderBy("variant")
 
 
+def _q_knn_graph_edges(spark, sf):
+    """The APG index build as a first-class oracle-verified query
+    (J4/J5: LSH-proposed candidates -> exact top-T adjacency with
+    reverse-edge symmetrization — the batch analogue of
+    divGraph::oneByOneInsert + chooseNN_simple + reverse insertion,
+    src/divGraph.h:764-810,568-574,512-520). Same build knobs as the
+    session graph cache (_graph_edges), so this verifies exactly the
+    index ann_topk_graph searches; the DuckDB twin replays bucketing
+    from the seeded-plane fixture and proves the two non-replayable
+    rails (xxhash64 cap order, top-T float boundary) never bind at
+    oracle scale (_knn_graph_oracle_sql guards)."""
+    e = _emb(spark, sf)
+    return ann.build_knn_graph(e, T=16, dim=64, seed=42) \
+        .orderBy("src", "dst")
+
+
 def _q_ann_eval_lsh(spark, sf):
     """A8 query-batch metrics (Performance::update, src/Query.cpp:9-67)
     for the LSH variant, FULLY oracle-verified: recall, ratio (with the
@@ -778,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_diverse": _q_ann_diverse,
         "ann_eval_metrics": _q_ann_eval,
         "ann_eval_lsh": _q_ann_eval_lsh,
+        "knn_graph_edges": _q_knn_graph_edges,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -999,20 +1016,17 @@ def _lsh_band_key_arms(bands: int, r: int, probes: int,
     return "\n            UNION ALL ".join(arms)
 
 
-def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
-                        k: int, bucket_cap: int, w: float = 8.0,
-                        as_pool_cte: bool = False) -> str:
-    """First-principles DuckDB replay of lsh_topk with explicit knobs
-    (operators/ann.py): seeded projection planes read from the parquet
-    fixture (ensure_ann_plane_fixtures — IEEE-exact doubles, the same
-    PCG64 draw the pandas UDF makes), sign/p-stable hashing, band +
-    leave-one-out-probe bucketing, candidate dedup, exact re-rank.
-
-    The Spark entry keeps bucket_cap={cap} armed (the skew rail); the
-    oracle instead PROVES the cap never binds at oracle scale with a
-    guard aggregate that raises error() if any corpus bucket exceeds
-    it — the same 'cap provably inactive at the oracle corpus'
-    contract _q_substring documents for its fingerprint cap."""
+def _lsh_bucket_ctes(metric: str, bands: int, r: int, probes: int,
+                     bucket_cap: int, w: float = 8.0) -> tuple[str, str]:
+    """Shared prefix of every LSH-family oracle: (CTE string defining
+    planes/e/bits/keys/guard, exact-score SQL expression over qe/ce).
+    planes = the seeded projection fixture (ensure_ann_plane_fixtures
+    — IEEE-exact doubles, the same PCG64 draw the pandas UDF makes);
+    bits = sign/p-stable hashes; keys = band + leave-one-out-probe
+    bucket keys (_lsh_band_key_arms); guard raises error() if any
+    bucket exceeds bucket_cap — proving the Spark side's armed cap
+    (and therefore its non-replayable xxhash64 cap ORDER) never binds
+    at oracle scale."""
     from lsh_apg_spark.fixtures import ensure_ann_plane_fixtures
     paths = ensure_ann_plane_fixtures()
     if metric == "cosine":
@@ -1032,7 +1046,7 @@ def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
         score = ("-list_sum(list_transform(list_zip(qe.v, ce.v), "
                  "x -> (x[1] - x[2]) * (x[1] - x[2])))")
     arms = _lsh_band_key_arms(bands, r, probes)
-    core = f"""planes AS ({planes_cte}),
+    prefix = f"""planes AS ({planes_cte}),
             e AS ({e_cte}),
             bits AS (
                 SELECT e.vec_id, {bits_expr} AS bb
@@ -1046,7 +1060,27 @@ def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
                             ELSE 0 END AS g
                 FROM (SELECT count(*) AS cnt FROM keys
                       GROUP BY band, kind, kv)
-            ), cand AS (
+            )"""
+    return prefix, score
+
+
+def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
+                        k: int, bucket_cap: int, w: float = 8.0,
+                        as_pool_cte: bool = False) -> str:
+    """First-principles DuckDB replay of lsh_topk with explicit knobs
+    (operators/ann.py): seeded projection planes read from the parquet
+    fixture (ensure_ann_plane_fixtures — IEEE-exact doubles, the same
+    PCG64 draw the pandas UDF makes), sign/p-stable hashing, band +
+    leave-one-out-probe bucketing, candidate dedup, exact re-rank.
+
+    The Spark entry keeps bucket_cap={cap} armed (the skew rail); the
+    oracle instead PROVES the cap never binds at oracle scale with a
+    guard aggregate that raises error() if any corpus bucket exceeds
+    it — the same 'cap provably inactive at the oracle corpus'
+    contract _q_substring documents for its fingerprint cap."""
+    prefix, score = _lsh_bucket_ctes(metric, bands, r, probes,
+                                     bucket_cap, w)
+    core = f"""{prefix}, cand AS (
                 SELECT DISTINCT q.vec_id AS query_id,
                                 c.vec_id AS neighbor_id
                 FROM keys q JOIN keys c
@@ -1169,6 +1203,65 @@ def _ann_diverse_oracle_sql(k: int, pool_factor: int, bands: int, r: int,
             CROSS JOIN guard CROSS JOIN amb
             WHERE guard.g = 0 AND amb.a = 0
             ORDER BY o.query_id, o.rank
+        """
+
+
+def _knn_graph_oracle_sql(t: int, bands: int, r: int, probes: int,
+                          bucket_cap: int) -> str:
+    """DuckDB replay of build_knn_graph — the APG index construction
+    itself (batch analogue of divGraph::oneByOneInsert + chooseNN_simple
+    + reverse-edge insertion, src/divGraph.h:764-810,568-574,512-520)
+    made oracle-verifiable: seeded-plane bucketing (shared prefix
+    _lsh_bucket_ctes), within-bucket pair explode (a < b, distinct),
+    exact cosine scoring, symmetrization, per-node top-T by
+    (score DESC, dst).
+
+    Two guards make the replay valid: the shared bucket_cap guard
+    (proves the Spark side's xxhash64-ordered cap slice never binds at
+    oracle scale — the cap ORDER is the one non-replayable piece), and
+    a top-T boundary guard that raises error() if any node's rank-T /
+    rank-T+1 scores differ by a nonzero amount under 1e-9 (bitwise-equal
+    scores are fine — both engines break them on dst asc; only a
+    NEAR-tie could make the engines disagree on membership)."""
+    prefix, _score = _lsh_bucket_ctes("cosine", bands, r, probes,
+                                      bucket_cap)
+    return f"""
+            WITH {prefix},
+            pairs AS (
+                SELECT DISTINCT k1.vec_id AS a, k2.vec_id AS b
+                FROM keys k1 JOIN keys k2
+                  ON k1.band = k2.band AND k1.kind = k2.kind
+                 AND k1.kv = k2.kv AND k1.vec_id < k2.vec_id
+            ), scored AS (
+                SELECT pairs.a, pairs.b,
+                       list_cosine_similarity(va.v, vb.v) AS s
+                FROM pairs JOIN e va ON va.vec_id = pairs.a
+                           JOIN e vb ON vb.vec_id = pairs.b
+            ), sym AS (
+                SELECT a AS src, b AS dst, s FROM scored
+                UNION ALL
+                SELECT b AS src, a AS dst, s FROM scored
+            ), topt AS (
+                SELECT src, dst, s,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY s DESC, dst) AS rnk
+                FROM sym
+            ), gb AS (
+                SELECT CASE WHEN count(*) > 0
+                            THEN error('oracle invalid: a top-T boundary '
+                                       'sits within 1e-9 of a tie')
+                            ELSE 0 END AS g
+                FROM (SELECT src,
+                             max(CASE WHEN rnk = {t} THEN s END)
+                             - max(CASE WHEN rnk = {t + 1} THEN s END) AS d
+                      FROM topt WHERE rnk IN ({t}, {t + 1})
+                      GROUP BY src HAVING count(*) = 2)
+                WHERE d <> 0 AND d < 1e-9
+            )
+            SELECT src, dst, round(s, 6) AS score
+            FROM topt CROSS JOIN guard CROSS JOIN gb
+            WHERE rnk <= {t} AND guard.g = 0 AND gb.g = 0
+            ORDER BY src, dst
         """
 
 
@@ -1942,6 +2035,11 @@ def oracle_sql() -> dict[str, str]:
         # replayable paths; knobs mirror _q_ann_eval_lsh exactly
         "ann_eval_lsh": _ann_eval_lsh_oracle_sql(
             k=10, bands=8, r=4, probes=2, bucket_cap=512),
+        # oracle-verified since r5: the APG index build replayed from
+        # the seeded-plane fixture; knobs mirror _q_knn_graph_edges
+        # (= the session graph cache ann_topk_graph searches)
+        "knn_graph_edges": _knn_graph_oracle_sql(
+            t=16, bands=8, r=4, probes=2, bucket_cap=512),
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n_events,
