@@ -569,8 +569,11 @@ def _q_ann_graph(spark, sf):
     'APG' — divGraph::knn + bestFirstSearchInGraph,
     src/divGraph.h:921-1059,1093-1146) over the PREBUILT kNN edge
     table (VERDICT r2 item 1: the index is built once and amortized,
-    not charged to every query batch). Rows-only: the kNN graph is
-    hash-seeded; the recall >= 0.95 gate lives in
+    not charged to every query batch). Oracle-verified since r5: the
+    bounded search loop unrolls into plain SQL — build + seed + 4
+    expansion rounds with the sketch pre-prune, replayed from the
+    seeded-plane fixtures with margin guards on every discrete
+    decision (_ann_graph_oracle_sql); the recall >= 0.95 gate lives in
     tests/test_operators.py::test_graph_topk_recall."""
     e = _emb(spark, sf)
     queries = e.filter(F.col("vec_id") < 20)
@@ -990,7 +993,8 @@ _LM_SCORE_SQL = """
 
 
 def _lsh_band_key_arms(bands: int, r: int, probes: int,
-                       vals_col: str = "bb") -> str:
+                       vals_col: str = "bb",
+                       from_tbl: str = "bits") -> str:
     """UNION ALL arms producing one (vec_id, band, kind, kv) row per
     band/probe key — the SQL twin of _bucket_rows' key assembly
     (operators/ann.py): base key = the band's r hash values; probe p's
@@ -1006,18 +1010,20 @@ def _lsh_band_key_arms(bands: int, r: int, probes: int,
         arms.append(
             f"SELECT vec_id, {b} AS band, 0 AS kind, "
             f"array_to_string({vals_col}[{s}:{s + r - 1}], ',') AS kv "
-            f"FROM bits")
+            f"FROM {from_tbl}")
         for p in range(1, probes + 1):
             arms.append(
                 f"SELECT vec_id, {b} AS band, {p} AS kind, "
                 f"array_to_string({vals_col}[{s}:{s + p - 2}] || "
                 f"{vals_col}[{s + p}:{s + r - 1}], ',') AS kv "
-                f"FROM bits")
+                f"FROM {from_tbl}")
     return "\n            UNION ALL ".join(arms)
 
 
 def _lsh_bucket_ctes(metric: str, bands: int, r: int, probes: int,
-                     bucket_cap: int, w: float = 8.0) -> tuple[str, str]:
+                     bucket_cap: int, w: float = 8.0, ns: str = "",
+                     emit_e: bool = True,
+                     fixture_key: str | None = None) -> tuple[str, str]:
     """Shared prefix of every LSH-family oracle: (CTE string defining
     planes/e/bits/keys/guard, exact-score SQL expression over qe/ce).
     planes = the seeded projection fixture (ensure_ann_plane_fixtures
@@ -1026,39 +1032,54 @@ def _lsh_bucket_ctes(metric: str, bands: int, r: int, probes: int,
     bucket keys (_lsh_band_key_arms); guard raises error() if any
     bucket exceeds bucket_cap — proving the Spark side's armed cap
     (and therefore its non-replayable xxhash64 cap ORDER) never binds
-    at oracle scale."""
+    at oracle scale.
+
+    ``ns`` prefixes every CTE name (planes/bits/keys/guard) so two
+    differently-knobbed bucket chains can coexist in one statement
+    (the graph oracle needs build + seed); ``emit_e=False`` omits the
+    shared `e` CTE when the statement already defines it;
+    ``fixture_key`` overrides which plane fixture the chain reads
+    (default: 'cosine' 32-func / 'pstable')."""
     from lsh_apg_spark.fixtures import ensure_ann_plane_fixtures
     paths = ensure_ann_plane_fixtures()
     if metric == "cosine":
         e_cte = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
         bits_expr = ("list(CASE WHEN list_dot_product(e.v, p.plane) > 0 "
                      "THEN 1 ELSE 0 END ORDER BY p.plane_id)")
-        planes_cte = (f"SELECT plane_id, plane "
-                      f"FROM read_parquet('{paths['cosine']}')")
+        planes_cte = (
+            f"SELECT plane_id, plane "
+            f"FROM read_parquet('{paths[fixture_key or 'cosine']}')")
         score = "list_cosine_similarity(qe.v, ce.v)"
     else:  # l2_sq over the deterministically unnormalized embeddings
         e_cte = ("SELECT vec_id, list_transform(embedding::DOUBLE[], "
                  "x -> x * (1 + vec_id % 5)) AS v FROM embeddings")
         bits_expr = (f"list(floor((list_dot_product(e.v, p.a) + p.b) "
                      f"/ {w})::INT ORDER BY p.fn_id)")
-        planes_cte = (f"SELECT fn_id, a, b "
-                      f"FROM read_parquet('{paths['pstable']}')")
+        planes_cte = (
+            f"SELECT fn_id, a, b "
+            f"FROM read_parquet('{paths[fixture_key or 'pstable']}')")
         score = ("-list_sum(list_transform(list_zip(qe.v, ce.v), "
                  "x -> (x[1] - x[2]) * (x[1] - x[2])))")
-    arms = _lsh_band_key_arms(bands, r, probes)
-    prefix = f"""planes AS ({planes_cte}),
-            e AS ({e_cte}),
-            bits AS (
+    arms = _lsh_band_key_arms(bands, r, probes, from_tbl=f"{ns}bits")
+    # MATERIALIZED: bits/keys are referenced by every band arm resp.
+    # both sides of the bucket join — without the hint DuckDB may
+    # inline each reference, re-scanning the plane fixture per arm
+    # (and the graph oracle's unrolled rounds would blow the CTE DAG
+    # up exponentially)
+    e_part = (f"\n            e AS MATERIALIZED ({e_cte}),"
+              if emit_e else "")
+    prefix = f"""{ns}planes AS ({planes_cte}),{e_part}
+            {ns}bits AS MATERIALIZED (
                 SELECT e.vec_id, {bits_expr} AS bb
-                FROM e CROSS JOIN planes p GROUP BY e.vec_id
-            ), keys AS (
+                FROM e CROSS JOIN {ns}planes p GROUP BY e.vec_id
+            ), {ns}keys AS MATERIALIZED (
             {arms}
-            ), guard AS (
+            ), {ns}guard AS (
                 SELECT CASE WHEN max(cnt) > {bucket_cap}
                             THEN error('oracle invalid: a corpus bucket '
                                        'exceeds bucket_cap={bucket_cap}')
                             ELSE 0 END AS g
-                FROM (SELECT count(*) AS cnt FROM keys
+                FROM (SELECT count(*) AS cnt FROM {ns}keys
                       GROUP BY band, kind, kv)
             )"""
     return prefix, score
@@ -1262,6 +1283,225 @@ def _knn_graph_oracle_sql(t: int, bands: int, r: int, probes: int,
             FROM topt CROSS JOIN guard CROSS JOIN gb
             WHERE rnk <= {t} AND guard.g = 0 AND gb.g = 0
             ORDER BY src, dst
+        """
+
+
+def _ann_graph_oracle_sql(k: int, t: int = 16, ef: int = 64,
+                          rounds: int = 4, prune_margin: float = 0.15,
+                          seed_bands: int = 8, seed_r: int = 8,
+                          seed_probes: int = 1, build_bands: int = 8,
+                          build_r: int = 4, build_probes: int = 2,
+                          bucket_cap: int = 512) -> str:
+    """DuckDB replay of the FLAGSHIP query path — graph_topk over the
+    session-cached build_knn_graph index (divGraph::knn +
+    bestFirstSearchInGraph, src/divGraph.h:921-1059,1093-1146) — from
+    first principles. The search loop is bounded (`rounds` expansion
+    rounds, each a pure dataflow over the previous round's state), so
+    it UNROLLS into plain CTE blocks — no recursion:
+
+      build   : the knn_graph_edges replay (ns 'b', 32-func planes)
+      seed    : 64-func plane bucketing (ns 's'), entry-point fallback
+                to min(vec_id) for queries that collide with nothing
+                (src/divGraph.h:1040-1042)
+      round i : expand frontier over edges, drop visited, sketch
+                pre-prune vs (worst kept - margin) once the result set
+                is full (64-bit sign sketch from its own plane fixture;
+                allowed Hamming = floor(64*acos(thr)/pi)), exact-score
+                survivors, state = top-ef of state ∪ new, frontier =
+                newly admitted survivors
+
+    Guards (the replay is valid only when every discrete decision has
+    a real float margin, and proves it per run): both bucket_cap
+    guards (build + seed — the xxhash64 cap ORDER is the one
+    non-replayable piece, so the caps must never bind), the build
+    top-T boundary guard, a GLOBAL per-query score-gap guard (any two
+    distinct candidate scores for one query must be bitwise-equal or
+    >= 1e-9 apart — covers every top-ef cut, the final top-k cut, and
+    the worst-kept threshold), and a per-round floor-boundary guard on
+    64*acos(thr)/pi (engines' acos may differ in the last ulp)."""
+    from lsh_apg_spark.fixtures import ensure_ann_plane_fixtures
+    paths = ensure_ann_plane_fixtures()
+    bprefix, _ = _lsh_bucket_ctes("cosine", build_bands, build_r,
+                                  build_probes, bucket_cap, ns="b")
+    sprefix, _ = _lsh_bucket_ctes("cosine", seed_bands, seed_r,
+                                  seed_probes, bucket_cap, ns="s",
+                                  emit_e=False, fixture_key="cosine64")
+    blocks = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks.append(f"""
+            thr{i} AS MATERIALIZED (
+                SELECT query_id,
+                       CASE WHEN count(*) >= {ef}
+                            THEN least(greatest(min(s) - {prune_margin},
+                                                -1.0), 1.0)
+                       END AS thr
+                FROM state{p} GROUP BY query_id
+            ), hmax{i} AS MATERIALIZED (
+                SELECT query_id, thr,
+                       CASE WHEN thr IS NOT NULL
+                            THEN floor(64.0 * acos(thr) / pi())
+                            ELSE 64.0 END AS hmax
+                FROM thr{i}
+            ), gf{i} AS (
+                SELECT CASE WHEN count(*) > 0
+                            THEN error('oracle invalid: round {i} Hamming '
+                                       'bound within 1e-9 of a floor '
+                                       'boundary')
+                            ELSE 0 END AS g
+                FROM hmax{i}
+                WHERE thr IS NOT NULL
+                  AND (64.0 * acos(thr) / pi())
+                      - floor(64.0 * acos(thr) / pi()) < 1e-9
+            ), expnew{i} AS MATERIALIZED (
+                SELECT x.query_id, x.neighbor_id FROM (
+                    SELECT DISTINCT f.query_id, ed.dst AS neighbor_id
+                    FROM frontier{p} f
+                    JOIN edges ed ON ed.src = f.neighbor_id
+                    WHERE ed.dst <> f.query_id
+                ) x
+                LEFT JOIN visited{p} v
+                  ON v.query_id = x.query_id
+                 AND v.neighbor_id = x.neighbor_id
+                WHERE v.query_id IS NULL
+            ), surv{i} AS MATERIALIZED (
+                SELECT x.query_id, x.neighbor_id
+                FROM expnew{i} x
+                JOIN skb qs ON qs.vec_id = x.query_id
+                JOIN skb cs ON cs.vec_id = x.neighbor_id
+                LEFT JOIN hmax{i} h ON h.query_id = x.query_id
+                WHERE list_sum(list_transform(
+                          list_zip(qs.bits, cs.bits),
+                          z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END))
+                      <= coalesce(h.hmax, 64.0)
+            ), visited{i} AS MATERIALIZED (
+                SELECT query_id, neighbor_id FROM visited{p}
+                UNION ALL
+                SELECT query_id, neighbor_id FROM expnew{i}
+            ), newsc{i} AS MATERIALIZED (
+                SELECT x.query_id, x.neighbor_id,
+                       list_cosine_similarity(qe.v, ce.v) AS s
+                FROM surv{i} x JOIN e qe ON qe.vec_id = x.query_id
+                               JOIN e ce ON ce.vec_id = x.neighbor_id
+            ), state{i} AS MATERIALIZED (
+                SELECT query_id, neighbor_id, s FROM (
+                    SELECT query_id, neighbor_id, s,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY s DESC, neighbor_id)
+                               AS rn
+                    FROM (SELECT * FROM state{p}
+                          UNION ALL SELECT * FROM newsc{i})
+                ) WHERE rn <= {ef}
+            ), frontier{i} AS MATERIALIZED (
+                SELECT st.query_id, st.neighbor_id
+                FROM state{i} st JOIN surv{i} sv
+                  ON sv.query_id = st.query_id
+                 AND sv.neighbor_id = st.neighbor_id
+            )""")
+    rounds_sql = ",".join(blocks)
+    guard_names = (["bguard", "bgb", "sguard", "gsc"]
+                   + [f"gf{i}" for i in range(1, rounds + 1)])
+    return f"""
+            WITH {bprefix},
+            pairs AS (
+                SELECT DISTINCT k1.vec_id AS a, k2.vec_id AS b
+                FROM bkeys k1 JOIN bkeys k2
+                  ON k1.band = k2.band AND k1.kind = k2.kind
+                 AND k1.kv = k2.kv AND k1.vec_id < k2.vec_id
+            ), bscored AS (
+                SELECT pairs.a, pairs.b,
+                       list_cosine_similarity(va.v, vb.v) AS s
+                FROM pairs JOIN e va ON va.vec_id = pairs.a
+                           JOIN e vb ON vb.vec_id = pairs.b
+            ), bsym AS (
+                SELECT a AS src, b AS dst, s FROM bscored
+                UNION ALL
+                SELECT b AS src, a AS dst, s FROM bscored
+            ), btopt AS MATERIALIZED (
+                SELECT src, dst, s,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY s DESC, dst) AS rnk
+                FROM bsym
+            ), bgb AS (
+                SELECT CASE WHEN count(*) > 0
+                            THEN error('oracle invalid: a build top-T '
+                                       'boundary sits within 1e-9 of a tie')
+                            ELSE 0 END AS g
+                FROM (SELECT src,
+                             max(CASE WHEN rnk = {t} THEN s END)
+                             - max(CASE WHEN rnk = {t + 1} THEN s END) AS d
+                      FROM btopt WHERE rnk IN ({t}, {t + 1})
+                      GROUP BY src HAVING count(*) = 2)
+                WHERE d <> 0 AND d < 1e-9
+            ), edges AS MATERIALIZED (
+                SELECT src, dst FROM btopt WHERE rnk <= {t}
+            ),
+            {sprefix},
+            kplanes AS (
+                SELECT plane_id, plane
+                FROM read_parquet('{paths['sketch']}')
+            ), skb AS MATERIALIZED (
+                SELECT e.vec_id,
+                       list(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                                 THEN 1 ELSE 0 END
+                            ORDER BY p.plane_id) AS bits
+                FROM e CROSS JOIN kplanes p GROUP BY e.vec_id
+            ), gsc AS (
+                SELECT CASE WHEN count(*) > 0
+                            THEN error('oracle invalid: two candidate '
+                                       'scores for one query sit within '
+                                       '(0, 1e-9) of each other')
+                            ELSE 0 END AS g
+                FROM (
+                    SELECT s - lag(s) OVER (PARTITION BY query_id
+                                            ORDER BY s, neighbor_id) AS d
+                    FROM (SELECT q.vec_id AS query_id,
+                                 c.vec_id AS neighbor_id,
+                                 list_cosine_similarity(q.v, c.v) AS s
+                          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                          WHERE q.vec_id < 20)
+                ) WHERE d <> 0 AND d < 1e-9
+            ), qmin AS (
+                SELECT min(vec_id) AS eid FROM e
+            ), seeds AS MATERIALIZED (
+                SELECT DISTINCT q.vec_id AS query_id,
+                                c.vec_id AS neighbor_id
+                FROM skeys q JOIN skeys c
+                  ON q.band = c.band AND q.kind = c.kind AND q.kv = c.kv
+                WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+            ), visited0 AS MATERIALIZED (
+                SELECT * FROM seeds
+                UNION ALL
+                SELECT q.vec_id AS query_id, m.eid AS neighbor_id
+                FROM e q CROSS JOIN qmin m
+                WHERE q.vec_id < 20 AND q.vec_id <> m.eid
+                  AND q.vec_id NOT IN (SELECT query_id FROM seeds)
+            ), sc0 AS MATERIALIZED (
+                SELECT x.query_id, x.neighbor_id,
+                       list_cosine_similarity(qe.v, ce.v) AS s
+                FROM visited0 x JOIN e qe ON qe.vec_id = x.query_id
+                                JOIN e ce ON ce.vec_id = x.neighbor_id
+            ), state0 AS MATERIALIZED (
+                SELECT query_id, neighbor_id, s FROM (
+                    SELECT query_id, neighbor_id, s,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY s DESC, neighbor_id)
+                               AS rn
+                    FROM sc0
+                ) WHERE rn <= {ef}
+            ), frontier0 AS MATERIALIZED (
+                SELECT query_id, neighbor_id FROM state0
+            ),{rounds_sql}
+            SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+            FROM (SELECT query_id, neighbor_id, s,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, neighbor_id)
+                             AS rank
+                  FROM state{rounds})
+            CROSS JOIN {' CROSS JOIN '.join(guard_names)}
+            WHERE rank <= {k}
+              AND {' + '.join(f'{g}.g' for g in guard_names)} = 0
+            ORDER BY query_id, rank
         """
 
 
@@ -2040,6 +2280,11 @@ def oracle_sql() -> dict[str, str]:
         # (= the session graph cache ann_topk_graph searches)
         "knn_graph_edges": _knn_graph_oracle_sql(
             t=16, bands=8, r=4, probes=2, bucket_cap=512),
+        # oracle-verified since r5: the flagship graph search replayed
+        # end-to-end — build + seed + 4 unrolled expansion rounds with
+        # sketch pre-prune, every discrete decision margin-guarded;
+        # knobs mirror _q_ann_graph -> graph_topk defaults exactly
+        "ann_topk_graph": _ann_graph_oracle_sql(k=5),
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n_events,

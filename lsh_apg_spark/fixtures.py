@@ -399,4 +399,38 @@ def ensure_ann_plane_fixtures(repo_dir: str | None = None) -> dict[str, str]:
         pq.write_table(tbl, tmp)
         os.replace(tmp, ps_path)
     out["pstable"] = ps_path
+
+    # cosine family, 64 funcs: the graph SEED stage's knobs
+    # (graph_topk defaults: 8 bands x r=8, seed=42). NOT a prefix of
+    # the 32-func draw — standard_normal fills row-major over
+    # (dim, n_funcs), so each n_funcs is its own draw.
+    cos64_path = os.path.join(fdir, "ann_cos_planes_seed42_d64_p64.parquet")
+    if not os.path.exists(cos64_path):
+        rng = np.random.Generator(np.random.PCG64(42))
+        planes = rng.standard_normal((64, 64))
+        tbl = pa.table({
+            "plane_id": pa.array(range(64), pa.int32()),
+            "plane": pa.array([planes[:, j].tolist() for j in range(64)],
+                              pa.list_(pa.float64())),
+        })
+        tmp = cos64_path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, cos64_path)
+    out["cosine64"] = cos64_path
+
+    # sketch family: make_sketch_udf(dim=64, seed=42+9999) — the
+    # graph search's 64-bit pre-prune sketch planes
+    sk_path = os.path.join(fdir, "ann_sketch_planes_seed10041_d64.parquet")
+    if not os.path.exists(sk_path):
+        rng = np.random.Generator(np.random.PCG64(10041))
+        planes = rng.standard_normal((64, 64))
+        tbl = pa.table({
+            "plane_id": pa.array(range(64), pa.int32()),
+            "plane": pa.array([planes[:, j].tolist() for j in range(64)],
+                              pa.list_(pa.float64())),
+        })
+        tmp = sk_path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, sk_path)
+    out["sketch"] = sk_path
     return out

@@ -1498,6 +1498,21 @@ def test_ann_plane_fixtures_match_udf_draw(tmp_path):
     assert np.array_equal(np.array(ps["a"]).T, a)
     assert np.array_equal(np.array(ps["b"]), b)
 
+    # graph-oracle fixtures: the 64-func seed-stage planes (its OWN
+    # draw — standard_normal((64, 64)) is not a prefix of the 32-func
+    # one) and the sketch planes (make_sketch_udf seed 42+9999)
+    cos64 = pq.read_table(paths["cosine64"]).to_pydict()
+    rng = np.random.Generator(np.random.PCG64(42))
+    planes64 = rng.standard_normal((64, 64))
+    assert cos64["plane_id"] == list(range(64))
+    assert np.array_equal(np.array(cos64["plane"]).T, planes64)
+
+    sk = pq.read_table(paths["sketch"]).to_pydict()
+    rng = np.random.Generator(np.random.PCG64(10041))
+    skp = rng.standard_normal((64, 64))
+    assert sk["plane_id"] == list(range(64))
+    assert np.array_equal(np.array(sk["plane"]).T, skp)
+
     # idempotent: a second call must not rewrite (same inode contract
     # the oracle relies on mid-run)
     import os
