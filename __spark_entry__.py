@@ -650,8 +650,10 @@ def _q_ann_eval(spark, sf):
     """A8 query-batch metrics as a first-class operator (maps
     Performance::update + the CSV row RATIO/RECALL/COST,
     src/Query.cpp:9-67, src/alg.h:122-130): one row per ANN variant
-    with its recall/ratio/cost vs brute force. Rows-only (the
-    variants are hash/quantizer-seeded)."""
+    with its recall/ratio/cost vs brute force (graph rows add the
+    maxHop/avgHop search-depth diagnostics). Oracle-verified since r5:
+    both variants' chains replay in DuckDB (_ann_eval_oracle_sql), so
+    the metric row itself is recomputed end-to-end by the oracle."""
     e = _emb(spark, sf)
     queries_df = e.filter(F.col("vec_id") < 20)
     exact = ann.bruteforce_topk(queries_df, e, k=10)
@@ -1087,7 +1089,8 @@ def _lsh_bucket_ctes(metric: str, bands: int, r: int, probes: int,
 
 def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
                         k: int, bucket_cap: int, w: float = 8.0,
-                        as_pool_cte: bool = False) -> str:
+                        as_pool_cte: bool = False,
+                        emit_e: bool = True) -> str:
     """First-principles DuckDB replay of lsh_topk with explicit knobs
     (operators/ann.py): seeded projection planes read from the parquet
     fixture (ensure_ann_plane_fixtures — IEEE-exact doubles, the same
@@ -1100,7 +1103,7 @@ def _ann_lsh_oracle_sql(metric: str, bands: int, r: int, probes: int,
     it — the same 'cap provably inactive at the oracle corpus'
     contract _q_substring documents for its fingerprint cap."""
     prefix, score = _lsh_bucket_ctes(metric, bands, r, probes,
-                                     bucket_cap, w)
+                                     bucket_cap, w, emit_e=emit_e)
     core = f"""{prefix}, cand AS (
                 SELECT DISTINCT q.vec_id AS query_id,
                                 c.vec_id AS neighbor_id
@@ -1291,7 +1294,8 @@ def _ann_graph_oracle_sql(k: int, t: int = 16, ef: int = 64,
                           seed_bands: int = 8, seed_r: int = 8,
                           seed_probes: int = 1, build_bands: int = 8,
                           build_r: int = 4, build_probes: int = 2,
-                          bucket_cap: int = 512) -> str:
+                          bucket_cap: int = 512,
+                          as_pool_cte: bool = False):
     """DuckDB replay of the FLAGSHIP query path — graph_topk over the
     session-cached build_knn_graph index (divGraph::knn +
     bestFirstSearchInGraph, src/divGraph.h:921-1059,1093-1146) — from
@@ -1401,8 +1405,7 @@ def _ann_graph_oracle_sql(k: int, t: int = 16, ef: int = 64,
     rounds_sql = ",".join(blocks)
     guard_names = (["bguard", "bgb", "sguard", "gsc"]
                    + [f"gf{i}" for i in range(1, rounds + 1)])
-    return f"""
-            WITH {bprefix},
+    body = f"""{bprefix},
             pairs AS (
                 SELECT DISTINCT k1.vec_id AS a, k2.vec_id AS b
                 FROM bkeys k1 JOIN bkeys k2
@@ -1491,7 +1494,14 @@ def _ann_graph_oracle_sql(k: int, t: int = 16, ef: int = 64,
                 ) WHERE rn <= {ef}
             ), frontier0 AS MATERIALIZED (
                 SELECT query_id, neighbor_id FROM state0
-            ),{rounds_sql}
+            ),{rounds_sql}"""
+    if as_pool_cte:
+        # expose the chain for composition (ann_eval oracle): the CTE
+        # body (sans WITH), the guard CTE names to fold into the final
+        # select, and the round count (for surv{{i}} hop aggregation)
+        return body, guard_names, rounds
+    return f"""
+            WITH {body}
             SELECT query_id, neighbor_id, round(s, 4) AS score, rank
             FROM (SELECT query_id, neighbor_id, s,
                          row_number() OVER (PARTITION BY query_id
@@ -1560,6 +1570,111 @@ def _ann_eval_lsh_oracle_sql(k: int, bands: int, r: int, probes: int,
                    round(ratio, 5) AS ratio, round(cost, 5) AS cost
             FROM rec, rat, cst CROSS JOIN guard
             WHERE g = 0
+        """
+
+
+def _ann_eval_oracle_sql(k: int = 10) -> str:
+    """DuckDB replay of _q_ann_eval (ann_eval_metrics) — BOTH A8 rows
+    computed from replayable paths: the graph chain
+    (_ann_graph_oracle_sql pool mode, incl. per-round surv{i} frames
+    for the maxHop/avgHop diagnostics and visited0+surv counts for the
+    cost counter) and the LSH chain (_ann_lsh_oracle_sql pool mode,
+    cand count = its cost counter), each measured against the
+    brute-force top-k exactly as ann_eval does: recall = pair-hit
+    fraction, ratio = rank-aligned distance ratio with the
+    zero-distance clamp at 4dp granularity, cost = candidates /
+    (n_queries * corpus_size). Hop semantics mirror graph_topk's
+    stats: hop i = the i-th expansion round in which a query
+    exact-scored a new candidate; avg over ALL queries (absent = 0)."""
+    gbody, gguards, rounds = _ann_graph_oracle_sql(k=k, as_pool_cte=True)
+    lcore = _ann_lsh_oracle_sql("cosine", bands=8, r=4, probes=2, k=k,
+                                bucket_cap=512, as_pool_cte=True,
+                                emit_e=False)
+    surv_counts = " + ".join(
+        f"(SELECT count(*) FROM surv{i})" for i in range(1, rounds + 1))
+    hop_union = "\n                    UNION ALL ".join(
+        f"SELECT query_id, {i} AS hop FROM surv{i}"
+        for i in range(1, rounds + 1))
+    guard_names = gguards + ["guard"]  # "guard" = the lsh chain's cap
+    return f"""
+            WITH {gbody},
+            {lcore},
+            appg AS (
+                SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+                FROM (SELECT query_id, neighbor_id, s,
+                             row_number() OVER (PARTITION BY query_id
+                                                ORDER BY s DESC,
+                                                         neighbor_id)
+                                 AS rank
+                      FROM state{rounds})
+                WHERE rank <= {k}
+            ), appl AS (
+                SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+                FROM ranked WHERE rank <= {k}
+            ), ex AS (
+                SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           list_cosine_similarity(q.v, c.v) AS s,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.v, c.v)
+                                            DESC, c.vec_id) AS rank
+                    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                    WHERE q.vec_id < 20
+                ) WHERE rank <= {k}
+            ), denom AS (
+                SELECT (SELECT count(DISTINCT query_id) FROM ex) AS nq,
+                       (SELECT count(*) FROM e) AS n,
+                       (SELECT count(*) FROM ex) AS total
+            ), ghop AS (
+                SELECT coalesce(max(h), 0) AS max_hop,
+                       round(coalesce(sum(h), 0)::DOUBLE
+                             / (SELECT nq FROM denom), 3) AS avg_hop
+                FROM (SELECT query_id, max(hop) AS h FROM (
+                    {hop_union}
+                ) GROUP BY query_id)
+            ), rows_out AS (
+                SELECT 'graph' AS variant,
+                       round((SELECT count(*) FROM appg a
+                              JOIN ex x USING (query_id, neighbor_id))
+                             ::DOUBLE / d.total, 4) AS recall,
+                       round((SELECT avg(CASE WHEN 1.0 - x.score <= 1e-4
+                                              THEN 1.0
+                                              ELSE (1.0 - a.score)
+                                                   / (1.0 - x.score) END)
+                              FROM appg a
+                              JOIN ex x USING (query_id, rank)), 5)
+                           AS ratio,
+                       round(((SELECT count(*) FROM visited0)
+                              + {surv_counts})::DOUBLE
+                             / (d.nq * d.n), 5) AS cost,
+                       (SELECT max_hop FROM ghop)::INTEGER AS max_hop,
+                       (SELECT avg_hop FROM ghop) AS avg_hop
+                FROM denom d
+                UNION ALL
+                SELECT 'lsh' AS variant,
+                       round((SELECT count(*) FROM appl a
+                              JOIN ex x USING (query_id, neighbor_id))
+                             ::DOUBLE / d.total, 4) AS recall,
+                       round((SELECT avg(CASE WHEN 1.0 - x.score <= 1e-4
+                                              THEN 1.0
+                                              ELSE (1.0 - a.score)
+                                                   / (1.0 - x.score) END)
+                              FROM appl a
+                              JOIN ex x USING (query_id, rank)), 5)
+                           AS ratio,
+                       round((SELECT count(*) FROM cand)::DOUBLE
+                             / (d.nq * d.n), 5) AS cost,
+                       NULL::INTEGER AS max_hop,
+                       NULL::DOUBLE AS avg_hop
+                FROM denom d
+            )
+            SELECT variant, recall, ratio, cost, max_hop, avg_hop
+            FROM rows_out
+            CROSS JOIN {' CROSS JOIN '.join(guard_names)}
+            WHERE {' + '.join(f'{g}.g' for g in guard_names)} = 0
+            ORDER BY variant
         """
 
 
@@ -2285,6 +2400,10 @@ def oracle_sql() -> dict[str, str]:
         # sketch pre-prune, every discrete decision margin-guarded;
         # knobs mirror _q_ann_graph -> graph_topk defaults exactly
         "ann_topk_graph": _ann_graph_oracle_sql(k=5),
+        # oracle-verified since r5: BOTH A8 rows (graph incl. hop
+        # diagnostics, lsh) replayed and measured against the
+        # brute-force oracle inside DuckDB
+        "ann_eval_metrics": _ann_eval_oracle_sql(k=10),
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n_events,
