@@ -603,8 +603,10 @@ def _q_ann_graph_incr(spark, sf):
     arrive as a new batch and are INSERTED into the prebuilt graph
     (ann.extend_knn_graph — batch form of divGraph::oneByOneInsert/
     insertLSHRefine, src/divGraph.h:764-810,471-526), then the union
-    corpus is searched over the extended graph. Rows-only (hash-seeded
-    index); parity-vs-rebuild gated by
+    corpus is searched over the extended graph. Oracle-verified since
+    r5: base build + both searches + the bounded re-trim replay in
+    DuckDB with margin guards (_ann_graph_incr_oracle_sql);
+    parity-vs-rebuild also gated by
     tests/test_operators.py::test_extend_knn_graph_matches_rebuild."""
     e = _emb(spark, sf)
     cut, base_edges = _base_graph_split(spark, sf)
@@ -1289,171 +1291,34 @@ def _knn_graph_oracle_sql(t: int, bands: int, r: int, probes: int,
         """
 
 
-def _ann_graph_oracle_sql(k: int, t: int = 16, ef: int = 64,
-                          rounds: int = 4, prune_margin: float = 0.15,
-                          seed_bands: int = 8, seed_r: int = 8,
-                          seed_probes: int = 1, build_bands: int = 8,
-                          build_r: int = 4, build_probes: int = 2,
-                          bucket_cap: int = 512,
-                          as_pool_cte: bool = False):
-    """DuckDB replay of the FLAGSHIP query path — graph_topk over the
-    session-cached build_knn_graph index (divGraph::knn +
-    bestFirstSearchInGraph, src/divGraph.h:921-1059,1093-1146) — from
-    first principles. The search loop is bounded (`rounds` expansion
-    rounds, each a pure dataflow over the previous round's state), so
-    it UNROLLS into plain CTE blocks — no recursion:
+def _graph_search_blocks(ns: str, qfilter: str, cfilter: str,
+                         edges_cte: str, ef: int = 64, rounds: int = 4,
+                         prune_margin: float = 0.15):
+    """CTE fragment replaying ONE graph_topk invocation (seed stage +
+    `rounds` unrolled expansion rounds with the sketch pre-prune) —
+    parameterized so one statement can hold several searches (the
+    incremental-insert oracle runs two). Assumes CTEs `e` (vec_id, v),
+    `skeys` (64-func seed bucket keys over ALL of e) and `skb` (sketch
+    bit lists over ALL of e) are already defined; ``qfilter`` /
+    ``cfilter`` are SQL predicates with a `{}` placeholder for the
+    vec_id column ref, selecting the query resp. corpus subset;
+    ``edges_cte`` names the (src, dst) adjacency CTE to walk.
 
-      build   : the knn_graph_edges replay (ns 'b', 32-func planes)
-      seed    : 64-func plane bucketing (ns 's'), entry-point fallback
-                to min(vec_id) for queries that collide with nothing
-                (src/divGraph.h:1040-1042)
-      round i : expand frontier over edges, drop visited, sketch
-                pre-prune vs (worst kept - margin) once the result set
-                is full (64-bit sign sketch from its own plane fixture;
-                allowed Hamming = floor(64*acos(thr)/pi)), exact-score
-                survivors, state = top-ef of state ∪ new, frontier =
-                newly admitted survivors
-
-    Guards (the replay is valid only when every discrete decision has
-    a real float margin, and proves it per run): both bucket_cap
-    guards (build + seed — the xxhash64 cap ORDER is the one
-    non-replayable piece, so the caps must never bind), the build
-    top-T boundary guard, a GLOBAL per-query score-gap guard (any two
-    distinct candidate scores for one query must be bitwise-equal or
-    >= 1e-9 apart — covers every top-ef cut, the final top-k cut, and
-    the worst-kept threshold), and a per-round floor-boundary guard on
-    64*acos(thr)/pi (engines' acos may differ in the last ulp)."""
-    from lsh_apg_spark.fixtures import ensure_ann_plane_fixtures
-    paths = ensure_ann_plane_fixtures()
-    bprefix, _ = _lsh_bucket_ctes("cosine", build_bands, build_r,
-                                  build_probes, bucket_cap, ns="b")
-    sprefix, _ = _lsh_bucket_ctes("cosine", seed_bands, seed_r,
-                                  seed_probes, bucket_cap, ns="s",
-                                  emit_e=False, fixture_key="cosine64")
-    blocks = []
-    for i in range(1, rounds + 1):
-        p = i - 1
-        blocks.append(f"""
-            thr{i} AS MATERIALIZED (
-                SELECT query_id,
-                       CASE WHEN count(*) >= {ef}
-                            THEN least(greatest(min(s) - {prune_margin},
-                                                -1.0), 1.0)
-                       END AS thr
-                FROM state{p} GROUP BY query_id
-            ), hmax{i} AS MATERIALIZED (
-                SELECT query_id, thr,
-                       CASE WHEN thr IS NOT NULL
-                            THEN floor(64.0 * acos(thr) / pi())
-                            ELSE 64.0 END AS hmax
-                FROM thr{i}
-            ), gf{i} AS (
-                SELECT CASE WHEN count(*) > 0
-                            THEN error('oracle invalid: round {i} Hamming '
-                                       'bound within 1e-9 of a floor '
-                                       'boundary')
-                            ELSE 0 END AS g
-                FROM hmax{i}
-                WHERE thr IS NOT NULL
-                  AND (64.0 * acos(thr) / pi())
-                      - floor(64.0 * acos(thr) / pi()) < 1e-9
-            ), expnew{i} AS MATERIALIZED (
-                SELECT x.query_id, x.neighbor_id FROM (
-                    SELECT DISTINCT f.query_id, ed.dst AS neighbor_id
-                    FROM frontier{p} f
-                    JOIN edges ed ON ed.src = f.neighbor_id
-                    WHERE ed.dst <> f.query_id
-                ) x
-                LEFT JOIN visited{p} v
-                  ON v.query_id = x.query_id
-                 AND v.neighbor_id = x.neighbor_id
-                WHERE v.query_id IS NULL
-            ), surv{i} AS MATERIALIZED (
-                SELECT x.query_id, x.neighbor_id
-                FROM expnew{i} x
-                JOIN skb qs ON qs.vec_id = x.query_id
-                JOIN skb cs ON cs.vec_id = x.neighbor_id
-                LEFT JOIN hmax{i} h ON h.query_id = x.query_id
-                WHERE list_sum(list_transform(
-                          list_zip(qs.bits, cs.bits),
-                          z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END))
-                      <= coalesce(h.hmax, 64.0)
-            ), visited{i} AS MATERIALIZED (
-                SELECT query_id, neighbor_id FROM visited{p}
-                UNION ALL
-                SELECT query_id, neighbor_id FROM expnew{i}
-            ), newsc{i} AS MATERIALIZED (
-                SELECT x.query_id, x.neighbor_id,
-                       list_cosine_similarity(qe.v, ce.v) AS s
-                FROM surv{i} x JOIN e qe ON qe.vec_id = x.query_id
-                               JOIN e ce ON ce.vec_id = x.neighbor_id
-            ), state{i} AS MATERIALIZED (
-                SELECT query_id, neighbor_id, s FROM (
-                    SELECT query_id, neighbor_id, s,
-                           row_number() OVER (PARTITION BY query_id
-                                              ORDER BY s DESC, neighbor_id)
-                               AS rn
-                    FROM (SELECT * FROM state{p}
-                          UNION ALL SELECT * FROM newsc{i})
-                ) WHERE rn <= {ef}
-            ), frontier{i} AS MATERIALIZED (
-                SELECT st.query_id, st.neighbor_id
-                FROM state{i} st JOIN surv{i} sv
-                  ON sv.query_id = st.query_id
-                 AND sv.neighbor_id = st.neighbor_id
-            )""")
-    rounds_sql = ",".join(blocks)
-    guard_names = (["bguard", "bgb", "sguard", "gsc"]
-                   + [f"gf{i}" for i in range(1, rounds + 1)])
-    body = f"""{bprefix},
-            pairs AS (
-                SELECT DISTINCT k1.vec_id AS a, k2.vec_id AS b
-                FROM bkeys k1 JOIN bkeys k2
-                  ON k1.band = k2.band AND k1.kind = k2.kind
-                 AND k1.kv = k2.kv AND k1.vec_id < k2.vec_id
-            ), bscored AS (
-                SELECT pairs.a, pairs.b,
-                       list_cosine_similarity(va.v, vb.v) AS s
-                FROM pairs JOIN e va ON va.vec_id = pairs.a
-                           JOIN e vb ON vb.vec_id = pairs.b
-            ), bsym AS (
-                SELECT a AS src, b AS dst, s FROM bscored
-                UNION ALL
-                SELECT b AS src, a AS dst, s FROM bscored
-            ), btopt AS MATERIALIZED (
-                SELECT src, dst, s,
-                       row_number() OVER (PARTITION BY src
-                                          ORDER BY s DESC, dst) AS rnk
-                FROM bsym
-            ), bgb AS (
-                SELECT CASE WHEN count(*) > 0
-                            THEN error('oracle invalid: a build top-T '
-                                       'boundary sits within 1e-9 of a tie')
-                            ELSE 0 END AS g
-                FROM (SELECT src,
-                             max(CASE WHEN rnk = {t} THEN s END)
-                             - max(CASE WHEN rnk = {t + 1} THEN s END) AS d
-                      FROM btopt WHERE rnk IN ({t}, {t + 1})
-                      GROUP BY src HAVING count(*) = 2)
-                WHERE d <> 0 AND d < 1e-9
-            ), edges AS MATERIALIZED (
-                SELECT src, dst FROM btopt WHERE rnk <= {t}
-            ),
-            {sprefix},
-            kplanes AS (
-                SELECT plane_id, plane
-                FROM read_parquet('{paths['sketch']}')
-            ), skb AS MATERIALIZED (
-                SELECT e.vec_id,
-                       list(CASE WHEN list_dot_product(e.v, p.plane) > 0
-                                 THEN 1 ELSE 0 END
-                            ORDER BY p.plane_id) AS bits
-                FROM e CROSS JOIN kplanes p GROUP BY e.vec_id
-            ), gsc AS (
+    Returns (fragment, guard_names, final_state) where final_state =
+    `{ns}state{rounds}` holds (query_id, neighbor_id, s) with UNROUNDED
+    scores. Guards: `{ns}gsc` (any two distinct candidate scores for
+    one query must be bitwise-equal or >= 1e-9 apart — covers every
+    top-ef cut and the worst-kept threshold) and `{ns}gf{i}` (the
+    round-i Hamming bound must not sit within 1e-9 of its floor
+    boundary)."""
+    qf_q = qfilter.format("q.vec_id")
+    cf_c = cfilter.format("c.vec_id")
+    blocks = [f"""
+            {ns}gsc AS (
                 SELECT CASE WHEN count(*) > 0
                             THEN error('oracle invalid: two candidate '
                                        'scores for one query sit within '
-                                       '(0, 1e-9) of each other')
+                                       '(0, 1e-9) of each other [{ns}]')
                             ELSE 0 END AS g
                 FROM (
                     SELECT s - lag(s) OVER (PARTITION BY query_id
@@ -1462,39 +1327,232 @@ def _ann_graph_oracle_sql(k: int, t: int = 16, ef: int = 64,
                                  c.vec_id AS neighbor_id,
                                  list_cosine_similarity(q.v, c.v) AS s
                           FROM e q JOIN e c ON q.vec_id <> c.vec_id
-                          WHERE q.vec_id < 20)
+                          WHERE ({qf_q}) AND ({cf_c}))
                 ) WHERE d <> 0 AND d < 1e-9
-            ), qmin AS (
+            ), {ns}qmin AS (
                 SELECT min(vec_id) AS eid FROM e
-            ), seeds AS MATERIALIZED (
+                WHERE {cfilter.format("vec_id")}
+            ), {ns}seeds AS MATERIALIZED (
                 SELECT DISTINCT q.vec_id AS query_id,
                                 c.vec_id AS neighbor_id
                 FROM skeys q JOIN skeys c
                   ON q.band = c.band AND q.kind = c.kind AND q.kv = c.kv
-                WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
-            ), visited0 AS MATERIALIZED (
-                SELECT * FROM seeds
+                WHERE ({qf_q}) AND ({cf_c}) AND q.vec_id <> c.vec_id
+            ), {ns}visited0 AS MATERIALIZED (
+                SELECT * FROM {ns}seeds
                 UNION ALL
                 SELECT q.vec_id AS query_id, m.eid AS neighbor_id
-                FROM e q CROSS JOIN qmin m
-                WHERE q.vec_id < 20 AND q.vec_id <> m.eid
-                  AND q.vec_id NOT IN (SELECT query_id FROM seeds)
-            ), sc0 AS MATERIALIZED (
+                FROM e q CROSS JOIN {ns}qmin m
+                WHERE ({qfilter.format("q.vec_id")})
+                  AND q.vec_id <> m.eid
+                  AND q.vec_id NOT IN (SELECT query_id FROM {ns}seeds)
+            ), {ns}sc0 AS MATERIALIZED (
                 SELECT x.query_id, x.neighbor_id,
                        list_cosine_similarity(qe.v, ce.v) AS s
-                FROM visited0 x JOIN e qe ON qe.vec_id = x.query_id
-                                JOIN e ce ON ce.vec_id = x.neighbor_id
-            ), state0 AS MATERIALIZED (
+                FROM {ns}visited0 x
+                JOIN e qe ON qe.vec_id = x.query_id
+                JOIN e ce ON ce.vec_id = x.neighbor_id
+            ), {ns}state0 AS MATERIALIZED (
                 SELECT query_id, neighbor_id, s FROM (
                     SELECT query_id, neighbor_id, s,
                            row_number() OVER (PARTITION BY query_id
                                               ORDER BY s DESC, neighbor_id)
                                AS rn
-                    FROM sc0
+                    FROM {ns}sc0
                 ) WHERE rn <= {ef}
-            ), frontier0 AS MATERIALIZED (
-                SELECT query_id, neighbor_id FROM state0
-            ),{rounds_sql}"""
+            ), {ns}frontier0 AS MATERIALIZED (
+                SELECT query_id, neighbor_id FROM {ns}state0
+            )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks.append(f"""
+            {ns}thr{i} AS MATERIALIZED (
+                SELECT query_id,
+                       CASE WHEN count(*) >= {ef}
+                            THEN least(greatest(min(s) - {prune_margin},
+                                                -1.0), 1.0)
+                       END AS thr
+                FROM {ns}state{p} GROUP BY query_id
+            ), {ns}hmax{i} AS MATERIALIZED (
+                SELECT query_id, thr,
+                       CASE WHEN thr IS NOT NULL
+                            THEN floor(64.0 * acos(thr) / pi())
+                            ELSE 64.0 END AS hmax
+                FROM {ns}thr{i}
+            ), {ns}gf{i} AS (
+                SELECT CASE WHEN count(*) > 0
+                            THEN error('oracle invalid: round {i} Hamming '
+                                       'bound within 1e-9 of a floor '
+                                       'boundary [{ns}]')
+                            ELSE 0 END AS g
+                FROM {ns}hmax{i}
+                WHERE thr IS NOT NULL
+                  AND (64.0 * acos(thr) / pi())
+                      - floor(64.0 * acos(thr) / pi()) < 1e-9
+            ), {ns}expnew{i} AS MATERIALIZED (
+                SELECT x.query_id, x.neighbor_id FROM (
+                    SELECT DISTINCT f.query_id, ed.dst AS neighbor_id
+                    FROM {ns}frontier{p} f
+                    JOIN {edges_cte} ed ON ed.src = f.neighbor_id
+                    WHERE ed.dst <> f.query_id
+                ) x
+                LEFT JOIN {ns}visited{p} v
+                  ON v.query_id = x.query_id
+                 AND v.neighbor_id = x.neighbor_id
+                WHERE v.query_id IS NULL
+            ), {ns}surv{i} AS MATERIALIZED (
+                SELECT x.query_id, x.neighbor_id
+                FROM {ns}expnew{i} x
+                JOIN skb qs ON qs.vec_id = x.query_id
+                JOIN skb cs ON cs.vec_id = x.neighbor_id
+                LEFT JOIN {ns}hmax{i} h ON h.query_id = x.query_id
+                WHERE list_sum(list_transform(
+                          list_zip(qs.bits, cs.bits),
+                          z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END))
+                      <= coalesce(h.hmax, 64.0)
+            ), {ns}visited{i} AS MATERIALIZED (
+                SELECT query_id, neighbor_id FROM {ns}visited{p}
+                UNION ALL
+                SELECT query_id, neighbor_id FROM {ns}expnew{i}
+            ), {ns}newsc{i} AS MATERIALIZED (
+                SELECT x.query_id, x.neighbor_id,
+                       list_cosine_similarity(qe.v, ce.v) AS s
+                FROM {ns}surv{i} x
+                JOIN e qe ON qe.vec_id = x.query_id
+                JOIN e ce ON ce.vec_id = x.neighbor_id
+            ), {ns}state{i} AS MATERIALIZED (
+                SELECT query_id, neighbor_id, s FROM (
+                    SELECT query_id, neighbor_id, s,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY s DESC, neighbor_id)
+                               AS rn
+                    FROM (SELECT * FROM {ns}state{p}
+                          UNION ALL SELECT * FROM {ns}newsc{i})
+                ) WHERE rn <= {ef}
+            ), {ns}frontier{i} AS MATERIALIZED (
+                SELECT st.query_id, st.neighbor_id
+                FROM {ns}state{i} st JOIN {ns}surv{i} sv
+                  ON sv.query_id = st.query_id
+                 AND sv.neighbor_id = st.neighbor_id
+            )""")
+    guards = [f"{ns}gsc"] + [f"{ns}gf{i}" for i in range(1, rounds + 1)]
+    return ",".join(blocks), guards, f"{ns}state{rounds}"
+
+
+def _graph_build_blocks(ns: str, t: int, keys_cte: str,
+                        vfilter: str = "TRUE"):
+    """CTE fragment replaying build_knn_graph from an existing bucket
+    keys CTE: within-bucket pair explode (a < b, distinct), exact
+    cosine scoring, symmetrization, per-node top-T by (score DESC,
+    dst). ``vfilter`` ({}-placeholder predicate) restricts the node
+    set (the incremental oracle builds over the base 90% only).
+    Returns (fragment, guard_names, edges_cte): `{ns}edges` = (src,
+    dst) adjacency; guard `{ns}gb` = the top-T boundary margin."""
+    return (f"""
+            {ns}pairs AS MATERIALIZED (
+                SELECT DISTINCT k1.vec_id AS a, k2.vec_id AS b
+                FROM {keys_cte} k1 JOIN {keys_cte} k2
+                  ON k1.band = k2.band AND k1.kind = k2.kind
+                 AND k1.kv = k2.kv AND k1.vec_id < k2.vec_id
+                WHERE ({vfilter.format("k1.vec_id")})
+                  AND ({vfilter.format("k2.vec_id")})
+            ), {ns}bscored AS MATERIALIZED (
+                SELECT p.a, p.b, list_cosine_similarity(va.v, vb.v) AS s
+                FROM {ns}pairs p JOIN e va ON va.vec_id = p.a
+                                 JOIN e vb ON vb.vec_id = p.b
+            ), {ns}btopt AS MATERIALIZED (
+                SELECT src, dst, s,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY s DESC, dst) AS rnk
+                FROM (SELECT a AS src, b AS dst, s FROM {ns}bscored
+                      UNION ALL
+                      SELECT b AS src, a AS dst, s FROM {ns}bscored)
+            ), {ns}gb AS (
+                SELECT CASE WHEN count(*) > 0
+                            THEN error('oracle invalid: a build top-T '
+                                       'boundary sits within 1e-9 of a '
+                                       'tie [{ns}]')
+                            ELSE 0 END AS g
+                FROM (SELECT src,
+                             max(CASE WHEN rnk = {t} THEN s END)
+                             - max(CASE WHEN rnk = {t + 1} THEN s END) AS d
+                      FROM {ns}btopt WHERE rnk IN ({t}, {t + 1})
+                      GROUP BY src HAVING count(*) = 2)
+                WHERE d <> 0 AND d < 1e-9
+            ), {ns}edges AS MATERIALIZED (
+                SELECT src, dst FROM {ns}btopt WHERE rnk <= {t}
+            )""", [f"{ns}gb"], f"{ns}edges")
+
+
+def _graph_common_ctes(seed_bands: int = 8, seed_r: int = 8,
+                       seed_probes: int = 1, build_bands: int = 8,
+                       build_r: int = 4, build_probes: int = 2,
+                       bucket_cap: int = 512):
+    """The CTEs every graph-oracle statement shares: `e` + the 32-func
+    build bucket chain (ns 'b' -> bkeys + bguard), the 64-func seed
+    chain (ns 's' -> skeys + sguard), and the sketch bit lists `skb`.
+    The two cap guards count ALL of e — a superset of any node-subset
+    a particular build/search uses, so cap-never-binds over the full
+    table soundly implies it for the subset. Returns (fragment,
+    guard_names)."""
+    from lsh_apg_spark.fixtures import ensure_ann_plane_fixtures
+    paths = ensure_ann_plane_fixtures()
+    bprefix, _ = _lsh_bucket_ctes("cosine", build_bands, build_r,
+                                  build_probes, bucket_cap, ns="b")
+    sprefix, _ = _lsh_bucket_ctes("cosine", seed_bands, seed_r,
+                                  seed_probes, bucket_cap, ns="s",
+                                  emit_e=False, fixture_key="cosine64")
+    frag = f"""{bprefix},
+            {sprefix},
+            kplanes AS (
+                SELECT plane_id, plane
+                FROM read_parquet('{paths["sketch"]}')
+            ), skb AS MATERIALIZED (
+                SELECT e.vec_id,
+                       list(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                                 THEN 1 ELSE 0 END
+                            ORDER BY p.plane_id) AS bits
+                FROM e CROSS JOIN kplanes p GROUP BY e.vec_id
+            )"""
+    return frag, ["bguard", "sguard"]
+
+
+def _ann_graph_oracle_sql(k: int, t: int = 16, ef: int = 64,
+                          rounds: int = 4, prune_margin: float = 0.15,
+                          as_pool_cte: bool = False):
+    """DuckDB replay of the FLAGSHIP query path — graph_topk over the
+    session-cached build_knn_graph index (divGraph::knn +
+    bestFirstSearchInGraph, src/divGraph.h:921-1059,1093-1146) — from
+    first principles. The search loop is bounded (`rounds` expansion
+    rounds, each a pure dataflow over the previous round's state), so
+    it UNROLLS into plain CTE blocks — no recursion:
+
+      build   : the knn_graph_edges replay (_graph_build_blocks over
+                the 32-func plane chain)
+      seed    : 64-func plane bucketing, entry-point fallback to
+                min(vec_id) for queries that collide with nothing
+                (src/divGraph.h:1040-1042)
+      round i : expand frontier over edges, drop visited, sketch
+                pre-prune vs (worst kept - margin) once the result set
+                is full (64-bit sign sketch from its own plane fixture;
+                allowed Hamming = floor(64*acos(thr)/pi)), exact-score
+                survivors, state = top-ef of state U new, frontier =
+                newly admitted survivors
+
+    Guards (the replay is valid only when every discrete decision has
+    a real float margin, and proves it per run): both bucket_cap
+    guards (build + seed — the xxhash64 cap ORDER is the one
+    non-replayable piece, so the caps must never bind), the build
+    top-T boundary guard, the per-query score-gap guard, and the
+    per-round floor-boundary guard on 64*acos(thr)/pi
+    (_graph_search_blocks docstring)."""
+    common, cguards = _graph_common_ctes()
+    build, bguards, edges = _graph_build_blocks("", t, "bkeys")
+    search, sguards, state = _graph_search_blocks(
+        "", "{} < 20", "TRUE", edges, ef=ef, rounds=rounds,
+        prune_margin=prune_margin)
+    guard_names = cguards + bguards + sguards
+    body = f"""{common},{build},{search}"""
     if as_pool_cte:
         # expose the chain for composition (ann_eval oracle): the CTE
         # body (sans WITH), the guard CTE names to fold into the final
@@ -1507,7 +1565,130 @@ def _ann_graph_oracle_sql(k: int, t: int = 16, ef: int = 64,
                          row_number() OVER (PARTITION BY query_id
                                             ORDER BY s DESC, neighbor_id)
                              AS rank
-                  FROM state{rounds})
+                  FROM {state})
+            CROSS JOIN {" CROSS JOIN ".join(guard_names)}
+            WHERE rank <= {k}
+              AND {" + ".join(f"{g}.g" for g in guard_names)} = 0
+            ORDER BY query_id, rank
+        """
+
+
+
+def _ann_graph_incr_oracle_sql(k: int = 5, t: int = 16) -> str:
+    """DuckDB replay of _q_ann_graph_incr — incremental index
+    maintenance (extend_knn_graph, the batch form of
+    divGraph::oneByOneInsert/insertLSHRefine,
+    src/divGraph.h:764-810,471-526) — end-to-end:
+
+      1. base build over the first 90% (cut = 9*N//10 — exactly
+         int(N*0.9): N*0.9's fractional part is a tenth, never within
+         a float ulp of 1, so the float floor equals the integer one)
+      2. search #1: each new vector finds its T nearest over the BASE
+         graph (_graph_search_blocks ns 'n1', queries = new, corpus =
+         base)
+      3. new-new exact top-T within the batch, forward + reverse
+         merge, re-trim ONLY the touched adjacency (top-T re-cap over
+         base-edges-at-touched + new pairs; untouched rows pass
+         through verbatim — the bounded-touch contract)
+      4. search #2 over the extended graph (ns 'n2', queries =
+         vec_id < 20, corpus = the union = all of e)
+
+    Guards: the shared cap guards, the base build's top-T boundary,
+    both searches' score-gap + floor guards, a new-new score-gap guard
+    (covers the inner top-T cut) and the re-cap boundary guard."""
+    common, cguards = _graph_common_ctes()
+    build, bguards, base_edges = _graph_build_blocks(
+        "bb", t, "bkeys", vfilter="{} < (SELECT cut FROM cutv)")
+    s1, s1g, s1state = _graph_search_blocks(
+        "n1", "{} >= (SELECT cut FROM cutv)",
+        "{} < (SELECT cut FROM cutv)", base_edges)
+    s2, s2g, s2state = _graph_search_blocks("n2", "{} < 20", "TRUE",
+                                            "ext_edges")
+    guard_names = cguards + bguards + s1g + ["ginner", "grecap"] + s2g
+    return f"""
+            WITH {common},
+            cutv AS (SELECT (9 * count(*)) // 10 AS cut FROM e),
+            {build},{s1},
+            nnp AS MATERIALIZED (
+                SELECT query_id AS src, neighbor_id AS dst FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY s DESC, neighbor_id)
+                               AS rnk
+                    FROM {s1state}) WHERE rnk <= {t}
+            ), ginner AS (
+                SELECT CASE WHEN count(*) > 0
+                            THEN error('oracle invalid: two new-new '
+                                       'scores for one query sit within '
+                                       '(0, 1e-9) of each other')
+                            ELSE 0 END AS g
+                FROM (
+                    SELECT s - lag(s) OVER (PARTITION BY query_id
+                                            ORDER BY s, neighbor_id) AS d
+                    FROM (SELECT q.vec_id AS query_id,
+                                 c.vec_id AS neighbor_id,
+                                 list_cosine_similarity(q.v, c.v) AS s
+                          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                          WHERE q.vec_id >= (SELECT cut FROM cutv)
+                            AND c.vec_id >= (SELECT cut FROM cutv))
+                ) WHERE d <> 0 AND d < 1e-9
+            ), innerp AS MATERIALIZED (
+                SELECT query_id AS src, neighbor_id AS dst FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.v, c.v)
+                                            DESC, c.vec_id) AS rnk
+                    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                    WHERE q.vec_id >= (SELECT cut FROM cutv)
+                      AND c.vec_id >= (SELECT cut FROM cutv)
+                ) WHERE rnk <= {t}
+            ), npairs AS MATERIALIZED (
+                SELECT src, dst FROM nnp
+                UNION ALL SELECT src, dst FROM innerp
+                UNION ALL SELECT dst AS src, src AS dst FROM nnp
+                UNION ALL SELECT dst AS src, src AS dst FROM innerp
+            ), touched AS MATERIALIZED (
+                SELECT DISTINCT src FROM npairs
+            ), cand2 AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT be.src, be.dst FROM {base_edges} be
+                    JOIN touched USING (src)
+                    UNION ALL SELECT src, dst FROM npairs)
+            ), resc AS MATERIALIZED (
+                SELECT c.src, c.dst,
+                       list_cosine_similarity(va.v, vb.v) AS s,
+                       row_number() OVER (
+                           PARTITION BY c.src
+                           ORDER BY list_cosine_similarity(va.v, vb.v)
+                                        DESC, c.dst) AS rnk
+                FROM cand2 c JOIN e va ON va.vec_id = c.src
+                             JOIN e vb ON vb.vec_id = c.dst
+            ), grecap AS (
+                SELECT CASE WHEN count(*) > 0
+                            THEN error('oracle invalid: a re-cap top-T '
+                                       'boundary sits within 1e-9 of a '
+                                       'tie')
+                            ELSE 0 END AS g
+                FROM (SELECT src,
+                             max(CASE WHEN rnk = {t} THEN s END)
+                             - max(CASE WHEN rnk = {t + 1} THEN s END) AS d
+                      FROM resc WHERE rnk IN ({t}, {t + 1})
+                      GROUP BY src HAVING count(*) = 2)
+                WHERE d <> 0 AND d < 1e-9
+            ), ext_edges AS MATERIALIZED (
+                SELECT src, dst FROM resc WHERE rnk <= {t}
+                UNION ALL
+                SELECT be.src, be.dst FROM {base_edges} be
+                LEFT JOIN touched tc ON tc.src = be.src
+                WHERE tc.src IS NULL
+            ),{s2}
+            SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+            FROM (SELECT query_id, neighbor_id, s,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, neighbor_id)
+                             AS rank
+                  FROM {s2state})
             CROSS JOIN {' CROSS JOIN '.join(guard_names)}
             WHERE rank <= {k}
               AND {' + '.join(f'{g}.g' for g in guard_names)} = 0
@@ -2404,6 +2585,10 @@ def oracle_sql() -> dict[str, str]:
         # diagnostics, lsh) replayed and measured against the
         # brute-force oracle inside DuckDB
         "ann_eval_metrics": _ann_eval_oracle_sql(k=10),
+        # oracle-verified since r5: incremental insert end-to-end —
+        # base build, search-then-connect for the new batch, bounded
+        # re-trim, search over the extended graph
+        "ann_graph_incr": _ann_graph_incr_oracle_sql(k=5, t=16),
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n_events,
