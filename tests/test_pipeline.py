@@ -184,3 +184,17 @@ def test_write_pages_parquet_matches_inmemory(spark, tmp_path):
     assert df.count() == 900
     assert df.exceptAll(mem).count() == 0
     assert mem.exceptAll(df).count() == 0
+
+
+def test_driver_contract_full_oracle_coverage():
+    """Round-5 invariant: EVERY queries() entry has a DuckDB oracle
+    (the formerly rows-only hash/quantizer-seeded family was converted
+    via plane/sketch fixtures, the md5-re-frozen IVF init, unrolled
+    bounded-loop replays and margin guards). A new entry landing
+    without its oracle — or an oracle for a renamed/removed query —
+    fails here before the driver's correctness run ever sees it."""
+    import __spark_entry__ as entrymod
+
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))
