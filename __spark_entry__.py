@@ -474,6 +474,13 @@ def _q_simhash_neardup(spark, sf):
         F.col("doc_id").cast("string").alias("url"), "text")
     sigs = with_simhash_md5(docs, "text", k=CFG.shingle_size) \
         .select("url", "simhash")
+    # materialize the fingerprint ONCE before the pigeonhole self-join:
+    # simhash_neardup_pairs references its input on the explode and on
+    # BOTH join sides, and the md5-vote expression chain is the whole
+    # stage cost — without this the plan re-evaluates it 3x (measured
+    # 25.6 s -> ~7 s at sf0.1/local[32]). The real pipeline materializes
+    # the signatures stage anyway (S2-S4 golden checkpoint).
+    sigs = sigs.localCheckpoint(eager=True)
     return dedup.simhash_neardup_pairs(sigs, CFG).orderBy("a", "b")
 
 
