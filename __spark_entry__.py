@@ -301,6 +301,20 @@ def _q_cosine_neardup(spark, sf):
                                       dim=64).orderBy("a", "b")
 
 
+def _q_semdedup(spark, sf):
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means cells +
+    within-cell exact cosine + keep-low-centroid pruning. Explicit
+    knobs (the quantizer shape is shared with ann_topk_ivf so both
+    replays exercise the same Lloyd chain); tau=0.4 is the corpus's
+    separability edge, same as cosine_neardup — the synthetic
+    embeddings are near-random, so a realistic 0.95 would drop
+    nothing and verify nothing. Oracle: _semdedup_oracle_sql replays
+    quantizer, assignment, pair admission and the dominance rule from
+    first principles with 1e-9 margin guards on every decision."""
+    return dedup.semdedup(_emb(spark, sf), tau=0.4, n_cells=32,
+                          iters=2, seed=42).orderBy("vec_id")
+
+
 def _q_ann_bruteforce(spark, sf):
     e = _emb(spark, sf)
     queries = e.filter(F.col("vec_id") < 20)
@@ -795,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "substring_containment": _q_substring,
         "cosine_neardup": _q_cosine_neardup,
+        "semdedup": _q_semdedup,
         "decontaminate": _q_decontaminate,
         "decontaminate_ngram": _q_decontaminate_ngram,
         # similarity search
@@ -1866,23 +1881,28 @@ def _ann_eval_oracle_sql(k: int = 10) -> str:
         """
 
 
-def _ann_ivf_oracle_sql(k: int, n_cells: int, nprobe: int, iters: int,
-                        seed: int, dim: int = 64) -> str:
-    """First-principles DuckDB replay of ivf_topk with explicit knobs
-    (operators/ann.py): the seeded init draw (md5-ordered — the
-    engine-common hash train_ivf_centroids re-froze onto so this replay
-    exists), `iters` unrolled Lloyd rounds (assignment = argmax cosine
-    vs the round's centroids, update = per-cell per-dim mean, empty
-    cells keep their previous centroid), final cell assignment, query
-    probe of the nprobe nearest cells, exact cosine re-rank.
+def _ivf_replay_ctes(n_cells: int, iters: int, seed: int,
+                     dim: int = 64) -> tuple[str, list[str]]:
+    """Shared DuckDB replay of train_ivf_centroids + the final cell
+    assignment (operators/ann.py) — the common prefix of the IVF and
+    semdedup oracles: the seeded init draw (md5-ordered — the
+    engine-common hash train_ivf_centroids re-froze onto so this
+    replay exists), `iters` unrolled Lloyd rounds (assignment = argmax
+    cosine vs the round's centroids, update = per-cell per-dim mean,
+    empty cells keep their previous centroid), final assignment.
+
+    Returns (body, guards): ``body`` is the CTE chain to follow
+    ``WITH `` (defines e, en, c0 and per round r: cn{r}, sims{r},
+    rk{r}, g{r}, a{r}, plus m{r}/c{r+1} between rounds); ``guards``
+    the g{r} CTE names whose g-sum the caller must fold into its
+    final WHERE so a thin float margin invalidates the run.
 
     Float parity: both engines do the same float64 math but sum in
     different orders (~1e-16 drift in means/sims), so every decision
     the replay takes is guarded: each round's assignment and the final
     one raise error() if ANY vector sits within 1e-9 of its top-2 cell
-    boundary, and the query probe raises if the nprobe-th/nprobe+1-th
-    cell margin is that thin. The oracle is valid only when every
-    discrete choice has a real margin — and proves it per run."""
+    boundary. The oracle is valid only when every discrete choice has
+    a real margin — and proves it per run."""
     rounds = []
     # cn{r} = unit-normalized centroids of c{r} (the UDF normalizes
     # centroids WITHOUT a floor — a zero centroid cannot arise from a
@@ -1933,8 +1953,7 @@ def _ann_ivf_oracle_sql(k: int, n_cells: int, nprobe: int, iters: int,
                 GROUP BY i.cell
             )""")
     rounds_sql = ",".join(rounds)
-    return f"""
-            WITH e AS (
+    body = f"""e AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ), en AS (
                 SELECT vec_id, list_transform(v, x -> x / greatest(
@@ -1945,7 +1964,21 @@ def _ann_ivf_oracle_sql(k: int, n_cells: int, nprobe: int, iters: int,
                 FROM (SELECT e.v AS cv,
                              md5('ivf:{seed}:' || vec_id::VARCHAR) AS h
                       FROM e ORDER BY h LIMIT {n_cells})
-            ),{rounds_sql},
+            ),{rounds_sql}"""
+    return body, [f"g{r}" for r in range(iters + 1)]
+
+
+def _ann_ivf_oracle_sql(k: int, n_cells: int, nprobe: int, iters: int,
+                        seed: int, dim: int = 64) -> str:
+    """First-principles DuckDB replay of ivf_topk with explicit knobs
+    (operators/ann.py): the shared Lloyd replay (_ivf_replay_ctes),
+    then the query probe of the nprobe nearest cells and the exact
+    cosine re-rank. On top of the per-round assignment guards, the
+    query probe raises if the nprobe-th/nprobe+1-th cell margin is
+    within 1e-9."""
+    body, guards = _ivf_replay_ctes(n_cells, iters, seed, dim)
+    return f"""
+            WITH {body},
             qprobe AS (
                 SELECT vec_id AS query_id, cell, rk
                 FROM rk{iters} WHERE vec_id < 20 AND rk <= {nprobe}
@@ -1985,6 +2018,70 @@ def _ann_ivf_oracle_sql(k: int, n_cells: int, nprobe: int, iters: int,
             WHERE rank <= {k}
               AND {' + '.join(f'g{r}.g' for r in range(iters + 1))} + gq.g = 0
             ORDER BY query_id, rank
+        """
+
+
+def _semdedup_oracle_sql(tau: float, n_cells: int, iters: int,
+                         seed: int, dim: int = 64) -> str:
+    """First-principles DuckDB replay of dedup.semdedup (SemDeDup,
+    arXiv:2303.09540): the shared Lloyd replay (_ivf_replay_ctes)
+    gives the final cell assignment AND each vector's similarity to
+    its own centroid (the rk=1 score); then within-cell all-pairs
+    exact cosine, admission at s > tau, and the keep-low-centroid
+    rule — per admitted pair the member with the larger
+    (centroid_sim, id) struct loses; a vector keeps iff no pair names
+    it loser.
+
+    Two decision families get margin guards on top of the assignment
+    guards: (1) pair admission raises if any within-cell pair's
+    cosine sits within 1e-9 of tau; (2) the dominance comparison
+    raises if an admitted pair's centroid-sim gap is under 1e-9 —
+    UNLESS the two vectors are list-identical, where both engines
+    compute bitwise-equal sims and the id tie-break is exact."""
+    body, guards = _ivf_replay_ctes(n_cells, iters, seed, dim)
+    gsum = " + ".join(f"{g}.g" for g in guards)
+    gjoin = " CROSS JOIN ".join(guards)
+    return f"""
+            WITH {body},
+            csim AS (
+                SELECT a.vec_id, a.cell, s.s AS cs
+                FROM a{iters} a JOIN rk{iters} s
+                  ON s.vec_id = a.vec_id AND s.cell = a.cell
+            ), p AS (
+                SELECT x.vec_id AS pa, x.cs AS csa,
+                       y.vec_id AS pb, y.cs AS csb,
+                       list_cosine_similarity(ex.v, ey.v) AS s,
+                       ex.v = ey.v AS same_vec
+                FROM csim x JOIN csim y
+                  ON x.cell = y.cell AND x.vec_id < y.vec_id
+                JOIN e ex ON ex.vec_id = x.vec_id
+                JOIN e ey ON ey.vec_id = y.vec_id
+            ), gtau AS (
+                SELECT CASE WHEN min(abs(s - {tau})) < 1e-9
+                            THEN error('oracle invalid: semdedup pair '
+                                       'within 1e-9 of tau')
+                            ELSE 0 END AS g FROM p
+            ), adm AS (
+                SELECT * FROM p WHERE s > {tau}
+            ), gdom AS (
+                SELECT CASE WHEN min(CASE WHEN same_vec THEN 1.0
+                                          ELSE abs(csa - csb) END) < 1e-9
+                            THEN error('oracle invalid: semdedup keep '
+                                       'rule within 1e-9 of a '
+                                       'centroid-sim tie')
+                            ELSE 0 END AS g FROM adm
+            ), losers AS (
+                SELECT DISTINCT CASE WHEN row(csa, pa) < row(csb, pb)
+                                     THEN pb ELSE pa END AS vec_id
+                FROM adm
+            )
+            SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+                   l.vec_id IS NULL AS keep
+            FROM csim c
+            LEFT JOIN losers l ON l.vec_id = c.vec_id
+            CROSS JOIN {gjoin} CROSS JOIN gtau CROSS JOIN gdom
+            WHERE {gsum} + gtau.g + gdom.g = 0
+            ORDER BY c.vec_id
         """
 
 
@@ -2573,6 +2670,12 @@ def oracle_sql() -> dict[str, str]:
         # guards on every discrete decision; knobs mirror _q_ann_ivf
         "ann_topk_ivf": _ann_ivf_oracle_sql(
             k=5, n_cells=32, nprobe=16, iters=2, seed=42),
+        # SemDeDup over the same replayable quantizer chain: cells,
+        # per-vector centroid sim, within-cell pair admission and the
+        # keep-low-centroid dominance rule, all margin-guarded; knobs
+        # mirror _q_semdedup
+        "semdedup": _semdedup_oracle_sql(
+            tau=0.4, n_cells=32, iters=2, seed=42),
         # oracle-verified since r5: the A8 metrics row for the LSH
         # variant — recall/ratio/cost as SQL aggregates over the two
         # replayable paths; knobs mirror _q_ann_eval_lsh exactly

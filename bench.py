@@ -78,7 +78,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "exact_dedup", "minhash_lsh_pairs",
         "simhash_neardup", "decontaminate", "ann_topk_bruteforce",
         "ann_topk_lsh", "ann_topk_lsh_l2", "ann_topk_graph",
-        "ann_topk_ivf",
+        "ann_topk_ivf", "semdedup",
         "decontaminate_ngram",
         "token_stats", "lang_id", "quality_filter", "line_dedup",
         "url_dedup", "pii_scrub", "domain_stats", "domain_sample",

@@ -1174,6 +1174,37 @@ def _nearest_cells_udf(centroids: np.ndarray, nprobe: int,
     return nearest
 
 
+def _cell_assign_udf(centroids: np.ndarray, metric: str = "cosine"):
+    """array<float> -> struct<cell:int, csim:double>: the argmax cell id
+    PLUS its similarity score, one numpy matmul per Arrow batch. The
+    semdedup keep-low-centroid rule needs the score itself, not just
+    the id; the scoring must stay numerically identical to
+    _nearest_cells_udf/_cell_order so the DuckDB replay's margin
+    guards vouch for both. Tie on the max goes to the lowest cell id
+    (np.argmax first-wins == the oracle's ORDER BY s DESC, cell)."""
+
+    @F.pandas_udf("cell int, csim double")
+    def assign(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        if metric == "cosine":
+            c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        else:
+            c = centroids
+        for vecs in it:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            if metric == "cosine":
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                sims = mat @ c.T
+            else:
+                sims = 2.0 * (mat @ c.T) - np.einsum("ij,ij->i", c, c)
+            cell = np.argmax(sims, axis=1)
+            yield pd.DataFrame({
+                "cell": cell.astype(np.int32),
+                "csim": sims[np.arange(len(cell)), cell]})
+
+    return assign
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int,

@@ -402,6 +402,66 @@ def test_cosine_neardup_selective_at_high_threshold(spark):
     assert cands / (n * (n - 1) / 2) < 0.2, cands
 
 
+def test_semdedup_matches_reference_rule(spark):
+    """dedup.semdedup (SemDeDup, arXiv:2303.09540) must reproduce a
+    pure-numpy replay of its own contract — same quantizer
+    (train_ivf_centroids), argmax cell assignment, within-cell pairs
+    above tau, keep-low-centroid dominance with id tie-break — over a
+    corpus with planted near-identical duplicates. Also checks the
+    pair expansion never degenerates to a cartesian plan and that the
+    stats out-param reports the cell histogram."""
+    from lsh_apg_spark.operators.ann import train_ivf_centroids
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((120, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    for j in range(10):  # planted semantic dups of vectors 0..9
+        v = base[j] + 0.01 * rng.standard_normal(16)
+        rows.append((200 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .localCheckpoint(eager=True)
+
+    stats: dict = {}
+    out = dedup.semdedup(df, tau=0.9, n_cells=8, iters=2, seed=3,
+                         stats=stats)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {r["vec_id"]: (r["cell"], r["keep"]) for r in out.collect()}
+
+    # independent replay: same centroids, numpy everything-else
+    cent = train_ivf_centroids(df, 8, iters=2, seed=3)
+    ids = [r[0] for r in rows]
+    vecs = np.array([np.array(r[1], dtype=np.float32) for r in rows],
+                    dtype=np.float64)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    vn = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    sims = vn @ cn.T
+    cells = np.argmax(sims, axis=1)
+    csim = sims[np.arange(len(ids)), cells]
+    nrm = np.linalg.norm(vecs, axis=1)
+    losers: set[int] = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cells[i] == cells[j]:
+                c = float(vecs[i] @ vecs[j]) / float(nrm[i] * nrm[j])
+                if c > 0.9:
+                    ki, kj = (csim[i], ids[i]), (csim[j], ids[j])
+                    losers.add(ids[j] if ki < kj else ids[i])
+    assert len(losers) >= 8  # the planted groups really collapse
+    exp = {ids[i]: (int(cells[i]), ids[i] not in losers)
+           for i in range(len(ids))}
+    assert got == exp
+    assert stats["max_cell_size"] >= 2
+    assert stats["n_nonempty_cells"] <= 8
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    e_out = dedup.semdedup(empty, tau=0.9, n_cells=4)
+    assert e_out.count() == 0
+    assert e_out.columns == ["vec_id", "cell", "keep"]
+
+
 def test_cosine_neardup_explicit_dim_and_empty_input(spark, embeddings):
     """ADVICE r2: an explicit dim must skip the driver-side probe job
     and produce identical results; an empty input must yield an empty
