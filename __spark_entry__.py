@@ -292,6 +292,18 @@ def _q_lm_buckets(spark, sf):
     return lm.lm_quality_buckets(scored).orderBy("doc_id")
 
 
+def _q_pack_sequences(spark, sf):
+    """Next-fit sequence packing into a 256-token budget over 8 md5
+    shards (operators/packing.py — the T5/GPT-3 "pack then chunk"
+    preprocessing step). Every packing decision is integer arithmetic
+    over the hash-verified whitespace token counts, so the DuckDB
+    recursive-CTE replay is EXACT — the only seeded-family oracle
+    that needs no float margin guards."""
+    from lsh_apg_spark.operators.packing import pack_sequences
+    return pack_sequences(_docs(spark, sf), budget=256, n_shards=8) \
+        .orderBy("doc_id")
+
+
 def _q_profile(spark, sf):
     return textstats.dataset_profile(_docs(spark, sf)).orderBy("lang")
 
@@ -839,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "domain_sample": _q_domain_sample,
         "corpus_mix": _q_corpus_mix,
+        "pack_sequences": _q_pack_sequences,
         "extract_verify": _q_extract_verify,
         "lm_score": _q_lm_score,
         "lm_buckets": _q_lm_buckets,
@@ -2554,6 +2567,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY host, rank NULLS LAST, doc_id
         """,
         "corpus_mix": _corpus_mix_oracle(),
+        # next-fit packing replay: md5 shards, (md5, id) shard order,
+        # the sequential remainder loop as a recursive CTE advancing
+        # every shard one row per recursion level. All-integer
+        # decisions over the hash-verified token counts — exact, no
+        # margin guards; knobs mirror _q_pack_sequences
+        "pack_sequences": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                           AS nt,
+                       md5('pack:' || doc_id::VARCHAR) AS h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, nt, h,
+                       (('0x' || substr(h, 1, 8))::BIGINT % 8)::INT AS shard
+                FROM t
+            ), o AS (
+                SELECT doc_id, nt, shard,
+                       row_number() OVER (PARTITION BY shard
+                                          ORDER BY h, doc_id) AS rn
+                FROM s
+            ), pk(doc_id, shard, rn, seq, acc, nt) AS (
+                SELECT doc_id, shard, rn, 0, nt, nt FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.shard, o.rn,
+                       CASE WHEN p.acc > 0 AND p.acc + o.nt > 256
+                            THEN p.seq + 1 ELSE p.seq END,
+                       CASE WHEN p.acc > 0 AND p.acc + o.nt > 256
+                            THEN o.nt ELSE p.acc + o.nt END,
+                       o.nt
+                FROM pk p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, shard, seq::INT AS seq, nt::INT AS n_tokens
+            FROM pk ORDER BY doc_id
+        """,
         "domain_stats": """
             WITH """ + _NOISY_URL_RAW_SQL + """, """
             + _URL_CANON_CTES + """

@@ -82,7 +82,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "decontaminate_ngram",
         "token_stats", "lang_id", "quality_filter", "line_dedup",
         "url_dedup", "pii_scrub", "domain_stats", "domain_sample",
-        "lm_score", "pricing_summary", "revenue_by_nation",
+        "lm_score", "pack_sequences", "pricing_summary",
+        "revenue_by_nation",
     ]
     # prebuild ONLY the kNN graph index OUTSIDE the timed region — the
     # reference's own bench loads/builds the index before its query

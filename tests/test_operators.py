@@ -402,6 +402,51 @@ def test_cosine_neardup_selective_at_high_threshold(spark):
     assert cands / (n * (n - 1) / 2) < 0.2, cands
 
 
+def test_pack_sequences_contract(spark):
+    """packing.pack_sequences (next-fit into a token budget): the
+    budget is never exceeded except by a lone oversize document, seq
+    ids are contiguous from 0 within each shard, the result is
+    independent of input partitioning, and packed_sequence_stats
+    reproduces the fill audit."""
+    import pytest as _pytest
+
+    from lsh_apg_spark.operators.packing import (pack_sequences,
+                                                 packed_sequence_stats)
+
+    rows = [(i, " ".join(["tok"] * (5 + (i * 37) % 90)))
+            for i in range(150)]
+    rows.append((900, " ".join(["tok"] * 500)))  # oversize: > budget
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, budget=100, n_shards=4)
+    got = sorted(map(tuple, out.collect()))
+    # deterministic under arbitrary input partitioning
+    got2 = sorted(map(tuple, pack_sequences(
+        docs.repartition(7), budget=100, n_shards=4).collect()))
+    assert got == got2
+    assert len(got) == 151
+    by_doc = {r[0]: r for r in got}
+    assert by_doc[3][3] == 5 + (3 * 37) % 90  # token counts carried
+    fills: dict = {}
+    for doc_id, shard, seq, nt in got:
+        fills.setdefault((shard, seq), []).append(nt)
+    for (shard, seq), toks in fills.items():
+        assert sum(toks) <= 100 or len(toks) == 1, (shard, seq, toks)
+    # the oversize doc sits alone in its sequence
+    o = by_doc[900]
+    assert fills[(o[1], o[2])] == [500]
+    # per shard: seqs contiguous from 0
+    per_shard: dict = {}
+    for shard, seq in fills:
+        per_shard.setdefault(shard, set()).add(seq)
+    for shard, seqs in per_shard.items():
+        assert seqs == set(range(max(seqs) + 1)), (shard, seqs)
+    st = {(r["shard"], r["seq"]): (r["n_docs"], r["fill_tokens"])
+          for r in packed_sequence_stats(out, budget=100).collect()}
+    assert st == {k: (len(v), sum(v)) for k, v in fills.items()}
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+
+
 def test_semdedup_matches_reference_rule(spark):
     """dedup.semdedup (SemDeDup, arXiv:2303.09540) must reproduce a
     pure-numpy replay of its own contract — same quantizer
