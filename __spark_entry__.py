@@ -292,6 +292,34 @@ def _q_lm_buckets(spark, sf):
     return lm.lm_quality_buckets(scored).orderBy("doc_id")
 
 
+def _q_normalize_text(spark, sf):
+    """Text normalization (operators/textnorm.py): NFC composition
+    (CPython unicodedata — bitwise-agrees with DuckDB nfc_normalize;
+    the container's pyarrow utf8_normalize does NOT compose and would
+    diverge) + the RE2-portable cleanup chain. The oracle runs the
+    IDENTICAL chain generated from the same CLEANUP_RULES tuple, so
+    rule drift between engines is structurally impossible."""
+    from lsh_apg_spark.operators.textnorm import normalize_text
+    return normalize_text(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _textnorm_oracle_sql() -> str:
+    from lsh_apg_spark.operators.textnorm import CLEANUP_RULES
+    expr = "nfc_normalize(text)"
+    for pat, repl in CLEANUP_RULES:
+        # SQL literals take backslashes verbatim (RE2 sees the same
+        # pattern Java does); replacements hold literal newline chars
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+            WITH n AS (
+                SELECT doc_id, text, {expr} AS cleaned FROM documents
+            )
+            SELECT doc_id, cleaned AS text,
+                   cleaned IS DISTINCT FROM text AS changed
+            FROM n ORDER BY doc_id
+        """
+
+
 def _q_pack_sequences(spark, sf):
     """Next-fit sequence packing into a 256-token budget over 8 md5
     shards (operators/packing.py — the T5/GPT-3 "pack then chunk"
@@ -852,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_sample": _q_domain_sample,
         "corpus_mix": _q_corpus_mix,
         "pack_sequences": _q_pack_sequences,
+        "normalize_text": _q_normalize_text,
         "extract_verify": _q_extract_verify,
         "lm_score": _q_lm_score,
         "lm_buckets": _q_lm_buckets,
@@ -2602,6 +2631,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, seq::INT AS seq, nt::INT AS n_tokens
             FROM pk ORDER BY doc_id
         """,
+        # identical cleanup chain on both engines, generated from the
+        # one CLEANUP_RULES tuple; NFC via DuckDB's nfc_normalize
+        # (verified bitwise-equal to CPython unicodedata)
+        "normalize_text": _textnorm_oracle_sql(),
         "domain_stats": """
             WITH """ + _NOISY_URL_RAW_SQL + """, """
             + _URL_CANON_CTES + """

@@ -82,7 +82,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "decontaminate_ngram",
         "token_stats", "lang_id", "quality_filter", "line_dedup",
         "url_dedup", "pii_scrub", "domain_stats", "domain_sample",
-        "lm_score", "pack_sequences", "pricing_summary",
+        "lm_score", "pack_sequences", "normalize_text", "pricing_summary",
         "revenue_by_nation",
     ]
     # prebuild ONLY the kNN graph index OUTSIDE the timed region — the

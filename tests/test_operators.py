@@ -402,6 +402,51 @@ def test_cosine_neardup_selective_at_high_threshold(spark):
     assert cands / (n * (n - 1) / 2) < 0.2, cands
 
 
+def test_normalize_text_planted(spark):
+    """textnorm.normalize_text on deliberately dirty inputs: NFC
+    composition, CRLF/CR, control bytes, trailing line whitespace,
+    blank-line runs, padding, NULL passthrough, idempotence — and the
+    DuckDB oracle chain (generated from the same CLEANUP_RULES) must
+    reproduce every byte, which the clean driver corpus can't
+    exercise."""
+    import duckdb
+
+    from __spark_entry__ import _textnorm_oracle_sql
+    from lsh_apg_spark.operators.textnorm import normalize_text
+
+    rows = [
+        (1, "cafe\u0301 e\u0301"),   # decomposed -> NFC composes
+        (2, "a\r\nb\rc"),                 # CRLF + bare CR
+        (3, "x\x00y\x07z\x7f"),           # control bytes stripped
+        (4, "line  \t\nnext"),            # trailing line whitespace
+        (5, "a\n\n\n\n\nb"),              # blank-line run -> one blank
+        (6, "  padded\t "),               # leading/trailing ws
+        (7, "clean text"),                # untouched
+        (8, None),                        # NULL passthrough
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = normalize_text(df)
+    got = {r["doc_id"]: (r["text"], r["changed"]) for r in out.collect()}
+    assert got[1] == ("caf\u00e9 \u00e9", True)
+    assert got[2] == ("a\nb\nc", True)
+    assert got[3] == ("xyz", True)
+    assert got[4] == ("line\nnext", True)
+    assert got[5] == ("a\n\nb", True)
+    assert got[6] == ("padded", True)
+    assert got[7] == ("clean text", False)
+    assert got[8] == (None, False)
+    # idempotent: a second pass changes nothing
+    twice = normalize_text(out.select("doc_id", "text"))
+    assert all(not r["changed"] for r in twice.collect())
+    # the DuckDB oracle chain reproduces every byte on the dirty rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {r[0]: (r[1], r[2])
+              for r in con.execute(_textnorm_oracle_sql()).fetchall()}
+    assert oracle == got
+
+
 def test_pack_sequences_contract(spark):
     """packing.pack_sequences (next-fit into a token budget): the
     budget is never exceeded except by a lone oversize document, seq
