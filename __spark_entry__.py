@@ -1041,7 +1041,7 @@ _LM_SCORE_SQL = """
             WITH ltoks AS (
                 SELECT doc_id,
                        unnest(regexp_split_to_array(trim(lower(text)),
-                                                    '\\s+')) AS token
+                                                    '[ \\t\\n\\x0b\\f\\r]+')) AS token
                 FROM documents
             ), lcounts AS (
                 SELECT token, count(*) AS c FROM ltoks GROUP BY token
@@ -2086,9 +2086,8 @@ def _semdedup_oracle_sql(tau: float, n_cells: int, iters: int,
     return f"""
             WITH {body},
             csim AS (
-                SELECT a.vec_id, a.cell, s.s AS cs
-                FROM a{iters} a JOIN rk{iters} s
-                  ON s.vec_id = a.vec_id AND s.cell = a.cell
+                SELECT vec_id, cell, s AS cs
+                FROM rk{iters} WHERE rk = 1
             ), p AS (
                 SELECT x.vec_id AS pa, x.cs AS csa,
                        y.vec_id AS pb, y.cs AS csb,
@@ -2232,7 +2231,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id::VARCHAR AS id,
                        list_filter(
                            regexp_split_to_array(
-                               trim(lower(coalesce(text, ''))), '\\s+'),
+                               trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'),
                            tok -> tok <> '') AS toks
                 FROM documents
             ), shs AS (
@@ -2318,18 +2317,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))
                        AS token_count,
                    length(text) AS char_count,
                    len(list_distinct(
-                       regexp_split_to_array(trim(lower(text)), '\\s+')))
+                       regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')))
                        AS distinct_tokens
             FROM documents ORDER BY doc_id
         """,
         "quality_score": """
             WITH t AS (
                 SELECT doc_id, text,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                       regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
                 FROM documents
             )
             SELECT doc_id,
@@ -2345,7 +2344,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id,
                        list_distinct(regexp_split_to_array(
-                           trim(lower(text)), '\\s+')) AS dt
+                           trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS dt
                 FROM documents
             ), s AS (
                 SELECT doc_id, {lang_scores} FROM t
@@ -2360,7 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": """
             WITH t AS (
                 SELECT doc_id, text,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                       regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
                 FROM documents
             ), g AS (
                 SELECT doc_id,
@@ -2397,7 +2396,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition": """
             WITH t AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                       regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
                 FROM documents
             ), g AS (
                 SELECT doc_id,
@@ -2425,7 +2424,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": """
             WITH t AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                       regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
                 FROM documents
             ), x AS (
                 SELECT doc_id,
@@ -2549,7 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": """
             WITH t AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                       regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')
                            AS toks
                 FROM documents
             ), g AS (
@@ -2604,7 +2603,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             WITH RECURSIVE t AS (
                 SELECT doc_id,
-                       len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))
                            AS nt,
                        md5('pack:' || doc_id::VARCHAR) AS h
                 FROM documents

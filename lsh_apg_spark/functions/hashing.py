@@ -102,10 +102,13 @@ def with_simhash_md5(df: "DataFrame", text_col: str = "text", k: int = 3,
        Java split semantics (limit -1 keeps leading/trailing empties)
        with Python str.split and DuckDB, so the oracle and the pure-
        Python twin are bit-for-bit on any text whose whitespace is
-       ASCII [ \\t\\n\\r\\f] (the residual engine divergences are \\x0B,
-       which Java \\s matches but RE2 \\s does not, and non-ASCII case
-       mapping — the fixture generator emits neither; same ASCII-scope
-       rule as the Arrow tokenizer's string_is_ascii gate); shingles =
+       ASCII [ \\t\\n\\x0b\\r\\f] (the split spells the class out
+       explicitly — Java-\\s-identical, but RE2's \\s lacks \\x0B so
+       the shorthand would diverge on a vertical-tab doc; the one
+       residual divergence vs the PYTHON twin is non-ASCII case
+       mapping, which the fixture generator never emits — same
+       ASCII-scope rule as the Arrow tokenizer's string_is_ascii
+       gate); shingles =
        the DISTINCT word k-shingles joined with chr(31) (documents
        shorter than k tokens degrade to one whole-text shingle, so
        every doc has a non-empty shingle set — same degrade rule as
@@ -124,7 +127,7 @@ def with_simhash_md5(df: "DataFrame", text_col: str = "text", k: int = 3,
     """
     toks = F.array_remove(
         F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
-                r"\s+"),
+                r"[ \t\n\x0b\f\r]+"),
         "")
     staged = df.withColumn("_sh_toks", toks)
     n = F.size(F.col("_sh_toks"))

@@ -40,15 +40,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-# (pattern, replacement) in application order; RE2-safe and identical
-# across Spark's Java regex and DuckDB's RE2 (oracle adds the 'g' flag)
+# (pattern, replacement) in application order; identical across
+# Spark's Java regex and DuckDB's RE2 (oracle adds the 'g' flag).
+# Portability is why the trim rules avoid both `\s` (Java's includes
+# \x0b, RE2's does not) and `$` (Java's matches BEFORE a final
+# U+2028/U+2029/U+0085 line terminator, RE2's does not — measured:
+# 'hello  ' diverged between engines under `\s+$`): explicit
+# ASCII classes + the absolute-end `\z`, which both engines share.
 CLEANUP_RULES: tuple[tuple[str, str], ...] = (
     (r"\r\n?", "\n"),                              # CRLF / bare CR
     (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),     # control bytes
     (r"[ \t]+\n", "\n"),                           # trailing line ws
     (r"\n{3,}", "\n\n"),                           # blank-line runs
-    (r"^\s+", ""),                                 # leading ws
-    (r"\s+$", ""),                                 # trailing ws
+    (r"^[ \t\n\f\r]+", ""),                        # leading ws
+    (r"[ \t\n\f\r]+\z", ""),                       # trailing ws
 )
 
 

@@ -26,8 +26,12 @@ LANG_ORDER = ["en", "de", "fr", "es"]
 
 
 def tokens_col(text: Column | str) -> Column:
+    # the explicit class is Java-\s-identical ([ \t\n\x0b\f\r]) but,
+    # unlike the `\s+` spelling, means the same thing to RE2 — RE2's
+    # \s lacks \x0b, so the DuckDB oracles would diverge on a
+    # vertical-tab doc under the shorthand (measured)
     text = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    return F.split(F.trim(F.lower(text)), r"[ \t\n\x0b\f\r]+")
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
