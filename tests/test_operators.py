@@ -546,6 +546,12 @@ def test_semdedup_matches_reference_rule(spark):
     assert stats["max_cell_size"] >= 2
     assert stats["n_nonempty_cells"] <= 8
 
+    # n_cells=None sizes by the IVF sqrt rule: 130 rows -> 16 cells
+    auto = dedup.semdedup(df, tau=0.9, iters=2, seed=3)
+    exp16 = dedup.semdedup(df, tau=0.9, n_cells=16, iters=2, seed=3)
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, exp16.collect()))
+
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     e_out = dedup.semdedup(empty, tau=0.9, n_cells=4)
     assert e_out.count() == 0
