@@ -304,11 +304,18 @@ def _q_normalize_text(spark, sf):
 
 
 def _textnorm_oracle_sql() -> str:
-    from lsh_apg_spark.operators.textnorm import CLEANUP_RULES
-    expr = "nfc_normalize(text)"
+    from lsh_apg_spark.operators.textnorm import (CLEANUP_RULES,
+                                                  PRE_NFC_RULES)
+    # SQL literals take backslashes verbatim (RE2 sees the same
+    # pattern Java does); replacements hold literal newline chars.
+    # Control strip precedes nfc_normalize on BOTH engines (see
+    # PRE_NFC_RULES: DuckDB's nfc truncates at NUL on the utf8proc
+    # path, and junk bytes must not block composition).
+    expr = "text"
+    for pat, repl in PRE_NFC_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    expr = f"nfc_normalize({expr})"
     for pat, repl in CLEANUP_RULES:
-        # SQL literals take backslashes verbatim (RE2 sees the same
-        # pattern Java does); replacements hold literal newline chars
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return f"""
             WITH n AS (

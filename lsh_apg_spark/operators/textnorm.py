@@ -40,20 +40,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-# (pattern, replacement) in application order; identical across
-# Spark's Java regex and DuckDB's RE2 (oracle adds the 'g' flag).
-# Portability is why the trim rules avoid both `\s` (Java's includes
-# \x0b, RE2's does not) and `$` (Java's matches BEFORE a final
-# U+2028/U+2029/U+0085 line terminator, RE2's does not — measured:
-# 'hello  ' diverged between engines under `\s+$`): explicit
-# ASCII classes + the absolute-end `\z`, which both engines share.
+# (pattern, replacement) rule tables, applied in order; identical
+# across Spark's Java regex and DuckDB's RE2 (oracle adds the 'g'
+# flag). Portability is why the trim rules avoid both `\s` (Java's
+# includes \x0b, RE2's does not) and `$` (Java's matches BEFORE a
+# final U+2028/U+2029/U+0085 line terminator, RE2's does not -
+# measured divergence): explicit ASCII classes + the absolute-end
+# `\z`, which both engines share.
+#
+# Control bytes are stripped BEFORE NFC (a separate table) for two
+# reasons: junk bytes must not block composition ('e' + BEL + U+0301
+# composes only if the BEL goes first - combining marks attach to
+# adjacent bases), and DuckDB's nfc_normalize truncates at an
+# embedded NUL whenever the string takes the non-ASCII utf8proc path
+# (measured: pure-ASCII NUL strings survive, NUL + any non-ASCII
+# char truncates) - the oracle needs a NUL-free NFC input, so the
+# engine defines the same order.
+PRE_NFC_RULES: tuple[tuple[str, str], ...] = (
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),     # control bytes
+)
 CLEANUP_RULES: tuple[tuple[str, str], ...] = (
     (r"\r\n?", "\n"),                              # CRLF / bare CR
-    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),     # control bytes
     (r"[ \t]+\n", "\n"),                           # trailing line ws
     (r"\n{3,}", "\n\n"),                           # blank-line runs
-    (r"^[ \t\n\f\r]+", ""),                        # leading ws
-    (r"[ \t\n\f\r]+\z", ""),                       # trailing ws
+    (r"^[ \t\n\f\r]+", ""),                       # leading ws
+    (r"[ \t\n\f\r]+\z", ""),                     # trailing ws
 )
 
 
@@ -72,7 +83,10 @@ def normalize_text(docs: DataFrame, id_col: str = "doc_id",
     != original — lets callers semi-join just the rewritten minority
     when persisting incrementally). NULL text passes through NULL with
     changed=false."""
-    cleaned = _nfc_udf(F.col(text_col))
+    cleaned = F.col(text_col)
+    for pat, repl in PRE_NFC_RULES:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    cleaned = _nfc_udf(cleaned)
     for pat, repl in CLEANUP_RULES:
         cleaned = F.regexp_replace(cleaned, pat, repl)
     return docs.select(

@@ -447,6 +447,46 @@ def test_normalize_text_planted(spark):
     assert oracle == got
 
 
+def test_cross_engine_fuzz_textnorm_and_tokens(spark):
+    """Seeded 300-string adversarial corpus (controls incl. NUL and
+    \\x0b, the U+2028/U+2029/U+0085 line terminators whose Java-$
+    semantics bit in review, CR/LF mixes, composed AND decomposed
+    accents) — Spark and the DuckDB oracles must agree byte-for-byte
+    on normalize_text and on the whitespace token counts. One Spark
+    job + one DuckDB query per surface: a 300-case regression fence
+    around the Java-vs-RE2 regex divergence class."""
+    import random
+
+    import duckdb
+
+    from __spark_entry__ import _textnorm_oracle_sql, oracle_sql
+    from lsh_apg_spark.operators.textnorm import normalize_text
+
+    alphabet = (list("ab c.\t\n\r語") +
+                ["\x00", "\x07", "\x0b", "\x7f", "\u2028", "\u2029",
+                 "\x85", "e\u0301", "\u00e9", "  ", " \t", "\r\n",
+                 "\n\n\n", " \n ", "A\u030a"])
+    rng = random.Random(42)
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 40))))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_norm = {r["doc_id"]: (r["text"], r["changed"])
+                for r in normalize_text(df).collect()}
+    got_toks = {r["doc_id"]: r["token_count"]
+                for r in textstats.token_stats(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    o_norm = {r[0]: (r[1], r[2])
+              for r in con.execute(_textnorm_oracle_sql()).fetchall()}
+    assert o_norm == got_norm
+    o_toks = {r[0]: r[1]
+              for r in con.execute(oracle_sql()["token_stats"]).fetchall()}
+    assert o_toks == got_toks
+
+
 def test_pack_sequences_contract(spark):
     """packing.pack_sequences (next-fit into a token budget): the
     budget is never exceeded except by a lone oversize document, seq
