@@ -487,6 +487,57 @@ def test_cross_engine_fuzz_textnorm_and_tokens(spark):
     assert o_toks == got_toks
 
 
+def test_cross_engine_fuzz_url_canonicalizer(spark):
+    """Seeded 240-URL adversarial fuzz over the canonicalizer chain
+    (mixed-case schemes/hosts incl. Cyrillic, stacked www, default and
+    non-default ports, slash runs, tracking params in every position,
+    degenerate queries/fragments, NULL and schemeless inputs): Spark's
+    canonicalize_url and the DuckDB _URL_CANON_CTES twin must agree
+    byte-for-byte — the same regression fence the textnorm fuzz
+    provides, for the other big Java-vs-RE2 regexp chain."""
+    import random
+
+    import duckdb
+
+    from __spark_entry__ import _URL_CANON_CTES
+    from lsh_apg_spark.operators.urlnorm import canonicalize_url
+
+    rng = random.Random(7)
+    schemes = ["http", "https", "HTTP", "HtTpS", "ftp", ""]
+    wwws = ["", "www.", "WWW.", "www.www."]
+    hosts = ["Example.COM", "a.b.c", "xn--bcher-kva.de", "host",
+             "\u042f\u0417\u042b\u041a\u0418.\u0440\u0444"]
+    ports = ["", ":80", ":443", ":8080", ":00080"]
+    paths = ["", "/", "/A/b", "/a/b/", "/a//b///", "/%7Euser",
+             "/caf\u00e9"]
+    queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x",
+               "?a=1&utm_medium=y&b=2", "?fbclid=z", "?ref=abc&ref=def",
+               "?a=?&b=/", "?utm_x=1&utm_x=2", "?a=1&&b=2", "?=", "?a",
+               "?gclid=1&a=2"]
+    frags = ["", "#", "#frag", "#a?b=1"]
+    rows = []
+    for i in range(240):
+        u = ((rng.choice(schemes) + "://" if rng.random() < 0.9 else "")
+             + rng.choice(wwws) + rng.choice(hosts) + rng.choice(ports)
+             + rng.choice(paths) + rng.choice(queries) + rng.choice(frags))
+        rows.append((i, u))
+    rows += [(900, None), (901, "no scheme here"), (902, ""), (903, "://"),
+             (904, "http://"), (905, "http:///path"),
+             (906, "a+b-c.d://Host/x")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["c"]
+           for r in df.select("doc_id",
+                              canonicalize_url("url").alias("c")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?, ?)", rows)
+    sql = ("WITH raw AS (SELECT doc_id, url FROM urls), "
+           + _URL_CANON_CTES
+           + " SELECT doc_id, canonical_url FROM c ORDER BY doc_id")
+    oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert oracle == got
+
+
 def test_pack_sequences_contract(spark):
     """packing.pack_sequences (next-fit into a token budget): the
     budget is never exceeded except by a lone oversize document, seq
