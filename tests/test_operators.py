@@ -538,6 +538,52 @@ def test_cross_engine_fuzz_url_canonicalizer(spark):
     assert oracle == got
 
 
+def test_cross_engine_fuzz_pii_scrub(spark):
+    """Seeded 250-text adversarial fuzz over the PII chain: random
+    assemblies of real emails/phones, near-misses (missing TLD, bad
+    digit groups), boundary-adjacent unicode and underscores (the \\b
+    \\w-definition edge), punctuation runs. Spark pii_scrub and a
+    DuckDB replay built from the SAME frozen EMAIL_RE/PHONE_RE must
+    agree on counts and redacted bytes."""
+    import random
+
+    import duckdb
+
+    from lsh_apg_spark.operators.pii import EMAIL_RE, PHONE_RE, pii_scrub
+
+    frags = ["text ", "a.b@c.de", "x@y", "user+tag@mail.example.org",
+             "@example.com", "no_at", "123-4567", "555 1234", "12-3456",
+             "1234.5678", "123. 4567", "ё", "é", "_", "9", ".",
+             "-", " ", "(", "\n", "word", "ABC@DEF.GH", "a@b.c.", "--",
+             "%+-@x.yz", "000-0000000", "x123-4567y", "_123-4567_"]
+    rng = random.Random(13)
+    rows = [(i, "".join(rng.choice(frags)
+                        for _ in range(rng.randint(0, 12))))
+            for i in range(250)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_emails"], r["n_phones"], r["clean_text"])
+           for r in pii_scrub(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = {r[0]: (r[1], r[2], r[3]) for r in con.execute(f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g')
+                       AS no_email
+            FROM t
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(no_email, '{PHONE_RE}')) AS n_phones,
+               regexp_replace(no_email, '{PHONE_RE}', '<PHONE>', 'g')
+                   AS clean_text
+        FROM s ORDER BY doc_id
+    """).fetchall()}
+    assert oracle == got
+
+
 def test_pack_sequences_contract(spark):
     """packing.pack_sequences (next-fit into a token budget): the
     budget is never exceeded except by a lone oversize document, seq
