@@ -292,6 +292,19 @@ def _q_lm_buckets(spark, sf):
     return lm.lm_quality_buckets(scored).orderBy("doc_id")
 
 
+def _q_pack_stats(spark, sf):
+    """The packing-efficiency audit over pack_sequences: one row per
+    (shard, seq) with docs, token fill and utilization (fill/budget).
+    budget=256 is a power of two, so fill/budget is exact in binary
+    floating point and the 4dp rounding cannot straddle an engine
+    boundary."""
+    from lsh_apg_spark.operators.packing import (pack_sequences,
+                                                 packed_sequence_stats)
+    packed = pack_sequences(_docs(spark, sf), budget=256, n_shards=8)
+    return packed_sequence_stats(packed, budget=256) \
+        .orderBy("shard", "seq")
+
+
 def _q_normalize_text(spark, sf):
     """Text normalization (operators/textnorm.py): NFC composition
     (CPython unicodedata — bitwise-agrees with DuckDB nfc_normalize;
@@ -887,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_sample": _q_domain_sample,
         "corpus_mix": _q_corpus_mix,
         "pack_sequences": _q_pack_sequences,
+        "packed_sequence_stats": _q_pack_stats,
         "normalize_text": _q_normalize_text,
         "extract_verify": _q_extract_verify,
         "lm_score": _q_lm_score,
@@ -2070,6 +2084,42 @@ def _ann_ivf_oracle_sql(k: int, n_cells: int, nprobe: int, iters: int,
         """
 
 
+# Shared DuckDB replay of pack_sequences (operators/packing.py):
+# md5 shards, (md5, id) shard order, the sequential next-fit loop as a
+# recursive CTE advancing every shard one row per recursion level;
+# exposes pk(doc_id, shard, rn, seq, acc, nt). All-integer decisions
+# over the hash-verified token counts — exact, no margin guards.
+# Knobs (budget 256, 8 shards) mirror _q_pack_sequences/_q_pack_stats.
+_PACK_REPLAY_CTES = """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(lower(text)),
+                                                 '[ \\t\\n\\x0b\\f\\r]+'))
+                           AS nt,
+                       md5('pack:' || doc_id::VARCHAR) AS h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, nt, h,
+                       (('0x' || substr(h, 1, 8))::BIGINT % 8)::INT AS shard
+                FROM t
+            ), o AS (
+                SELECT doc_id, nt, shard,
+                       row_number() OVER (PARTITION BY shard
+                                          ORDER BY h, doc_id) AS rn
+                FROM s
+            ), pk(doc_id, shard, rn, seq, acc, nt) AS (
+                SELECT doc_id, shard, rn, 0, nt, nt FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.shard, o.rn,
+                       CASE WHEN p.acc > 0 AND p.acc + o.nt > 256
+                            THEN p.seq + 1 ELSE p.seq END,
+                       CASE WHEN p.acc > 0 AND p.acc + o.nt > 256
+                            THEN o.nt ELSE p.acc + o.nt END,
+                       o.nt
+                FROM pk p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+            )"""
+
+
 def _semdedup_oracle_sql(tau: float, n_cells: int, iters: int,
                          seed: int, dim: int = 64) -> str:
     """First-principles DuckDB replay of dedup.semdedup (SemDeDup,
@@ -2607,35 +2657,18 @@ def oracle_sql() -> dict[str, str]:
         # every shard one row per recursion level. All-integer
         # decisions over the hash-verified token counts — exact, no
         # margin guards; knobs mirror _q_pack_sequences
-        "pack_sequences": """
-            WITH RECURSIVE t AS (
-                SELECT doc_id,
-                       len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))
-                           AS nt,
-                       md5('pack:' || doc_id::VARCHAR) AS h
-                FROM documents
-            ), s AS (
-                SELECT doc_id, nt, h,
-                       (('0x' || substr(h, 1, 8))::BIGINT % 8)::INT AS shard
-                FROM t
-            ), o AS (
-                SELECT doc_id, nt, shard,
-                       row_number() OVER (PARTITION BY shard
-                                          ORDER BY h, doc_id) AS rn
-                FROM s
-            ), pk(doc_id, shard, rn, seq, acc, nt) AS (
-                SELECT doc_id, shard, rn, 0, nt, nt FROM o WHERE rn = 1
-                UNION ALL
-                SELECT o.doc_id, o.shard, o.rn,
-                       CASE WHEN p.acc > 0 AND p.acc + o.nt > 256
-                            THEN p.seq + 1 ELSE p.seq END,
-                       CASE WHEN p.acc > 0 AND p.acc + o.nt > 256
-                            THEN o.nt ELSE p.acc + o.nt END,
-                       o.nt
-                FROM pk p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
-            )
+        "pack_sequences": _PACK_REPLAY_CTES + """
             SELECT doc_id, shard, seq::INT AS seq, nt::INT AS n_tokens
             FROM pk ORDER BY doc_id
+        """,
+        # the packing audit over the same replay: per-(shard, seq)
+        # docs/fill/utilization; budget 256 = 2^8 so fill/budget is
+        # binary-exact and the 4dp rounding is engine-stable
+        "packed_sequence_stats": _PACK_REPLAY_CTES + """
+            SELECT shard, seq::INT AS seq, count(*) AS n_docs,
+                   sum(nt)::BIGINT AS fill_tokens,
+                   round(sum(nt) / 256.0, 4) AS utilization
+            FROM pk GROUP BY shard, seq ORDER BY shard, seq
         """,
         # identical cleanup chain on both engines, generated from the
         # one CLEANUP_RULES tuple; NFC via DuckDB's nfc_normalize
